@@ -25,3 +25,16 @@ import jax as _jax
 # bf16 explicitly where tolerable.
 _jax.config.update("jax_default_matmul_precision", "float32")
 
+# Persistent compilation cache: the detector lattice / LM programs are large
+# and TPU (re)compiles are expensive in this environment; cache them on disk
+# so benches and repeated sessions pay compile cost once.
+import os as _os
+
+_cache_dir = _os.environ.get("CUBE_SLAM_TPU_CACHE", _os.path.expanduser("~/.cache/cube_slam_tpu_jax"))
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # cache is an optimization, never fatal
+    pass
+

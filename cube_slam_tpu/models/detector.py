@@ -43,6 +43,7 @@ from ..ops import distance_transform as dt
 from ..ops import image as im_ops
 from ..ops import lines as line_ops
 from ..utils import geometry as geo
+from ..utils import np_geometry as np_geo
 
 BIG = 1e8
 
@@ -700,22 +701,18 @@ class CuboidDetector:
             "bh_mask": np.asarray(True),
         }
 
-    def detect_cuboid(self, rgb_or_gray, transToWorld, obj_bboxes, lines_raw):
-        """Reference-equivalent entry point (box_proposal_detail.cpp:56).
-
-        rgb_or_gray: (H, W[, 3]) image; transToWorld: (4, 4) camera-to-world;
-        obj_bboxes: (N, >=4) rows [x y w h ...]; lines_raw: (M, 4).
-        Returns list (per bbox) of lists of CuboidProposal, best first.
-        """
+    def prepare_batch(self, rgb_or_gray, transToWorld, obj_bboxes, lines_raw):
+        """Host-side prep: padded (bbox, height) batch + device args for
+        detect_lattice_batch. Returns (kernel_args dict, aux dict)."""
         assert self.K is not None, "call set_calibration first"
         from ..utils import io as io_utils
 
         gray = rgb_or_gray if rgb_or_gray.ndim == 2 else io_utils.rgb_to_gray(rgb_or_gray)
         img_h, img_w = gray.shape
         Twc = np.asarray(transToWorld, dtype=np.float64)
-        R = Twc[:3, :3]
-        q = np.asarray(geo.rot_to_quat(jnp.asarray(R[None], dtype=jnp.float32)))[0]
-        roll, pitch, yaw = (float(x) for x in geo.quat_to_euler_zyx(jnp.asarray(q)))
+        # host prep must stay numpy-only: eager jnp ops dispatch tiny device
+        # programs whose remote compiles dominate wall time
+        roll, pitch, yaw = np_geo.rot_to_euler_zyx(Twc[:3, :3])
         cam_euler_raw = (roll, pitch, yaw)
 
         lines_aligned = line_ops.align_left_right_edges(np.asarray(lines_raw, dtype=np.float64))
@@ -758,15 +755,31 @@ class CuboidDetector:
 
         K32 = jnp.asarray(self.K, dtype=jnp.float32)
         invK = jnp.asarray(np.linalg.inv(self.K), dtype=jnp.float32)
-        res, top_idx, top_scores, top_valid = detect_lattice_batch(
-            jnp.asarray(gray, dtype=jnp.float32),
-            jax.tree.map(jnp.asarray, bh_batch),
-            K32, invK, jnp.asarray(Twc, dtype=jnp.float32), jnp.float32(yaw),
+        kernel_args = dict(
+            gray=jnp.asarray(gray, dtype=jnp.float32),
+            bh_batch=jax.tree.map(jnp.asarray, bh_batch),
+            K=K32, invK=invK, Twc_raw=jnp.asarray(Twc, dtype=jnp.float32),
+            cam_yaw=jnp.float32(yaw),
             sample_roll_pitch=self.whether_sample_cam_roll_pitch,
             top_k=self.top_k,
             nominal_skew_ratio=float(self.nominal_skew_ratio),
             max_cut_skew=float(self.max_cut_skew),
         )
+        aux = dict(bboxes=bboxes, cam_euler_raw=cam_euler_raw, num_obj=num_obj)
+        return kernel_args, aux
+
+    def detect_cuboid(self, rgb_or_gray, transToWorld, obj_bboxes, lines_raw):
+        """Reference-equivalent entry point (box_proposal_detail.cpp:56).
+
+        rgb_or_gray: (H, W[, 3]) image; transToWorld: (4, 4) camera-to-world;
+        obj_bboxes: (N, >=4) rows [x y w h ...]; lines_raw: (M, 4).
+        Returns list (per bbox) of lists of CuboidProposal, best first.
+        """
+        kernel_args, aux = self.prepare_batch(rgb_or_gray, transToWorld, obj_bboxes, lines_raw)
+        res, top_idx, top_scores, top_valid = detect_lattice_batch(**kernel_args)
+        bboxes = aux["bboxes"]
+        cam_euler_raw = aux["cam_euler_raw"]
+        num_obj = aux["num_obj"]
 
         # gather host-side proposals
         res_np = jax.tree.map(np.asarray, res)

@@ -42,17 +42,24 @@ def vee(W):
     return jnp.stack([W[..., 2, 1], W[..., 0, 2], W[..., 1, 0]], axis=-1)
 
 
+def _safe_coeffs_exp(theta2, dtype):
+    """(a, b, c) = sin t / t, (1-cos t)/t^2, (1 - a)/t^2 with series
+    fallbacks. JVP-safe: the unselected branch is evaluated at a benign
+    point (theta2 -> 1) so no NaN/inf leaks through jnp.where gradients."""
+    small = theta2 < 1e-8
+    t2s = jnp.where(small, jnp.ones_like(theta2), theta2)  # safe denominator
+    ts = jnp.sqrt(t2s)
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(ts) / ts)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(ts)) / t2s)
+    c = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (1.0 - jnp.sin(ts) / ts) / t2s)
+    return a, b, c
+
+
 def so3_exp(w):
     """Rodrigues formula: (..., 3) axis-angle -> (..., 3, 3) rotation.
-
-    Uses sin(t)/t and (1-cos t)/t^2 with Taylor fallbacks near t=0.
-    """
+    JVP-safe at w=0 (series branches with safe denominators)."""
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(theta2 + _EPS * _EPS)  # safe sqrt; corrected by series below
-    # a = sin(t)/t, b = (1-cos(t))/t^2 — use series when theta tiny.
-    small = theta2 < 1e-8
-    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / (theta2 + _EPS * _EPS))
+    a, b, _ = _safe_coeffs_exp(theta2, w.dtype)
     W = hat(w)
     WW = W @ W
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
@@ -62,51 +69,36 @@ def so3_exp(w):
 def so3_log(R):
     """Rotation matrix (..., 3, 3) -> axis-angle (..., 3).
 
-    Stable near theta=0 (series) and usable near theta=pi (falls back to the
-    diagonal-based axis extraction).
-    """
-    trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
-    # Generic branch: w = theta/(2 sin theta) * vee(R - R^T)
-    sin_t = jnp.sin(theta)
-    antisym = vee(R - jnp.swapaxes(R, -1, -2))  # = 2 sin(theta) * axis
-    small = theta < 1e-4
-    # near 0: theta/(2 sin t) ~ 1/2 + t^2/12
-    scale_generic = theta / (2.0 * jnp.where(jnp.abs(sin_t) < _EPS, _EPS, sin_t))
-    scale = jnp.where(small, 0.5 + theta * theta / 12.0, scale_generic)
-    w_generic = scale[..., None] * antisym
-
-    # near pi: for theta=pi, (R + I)/2 = axis axis^T; take the row with the
-    # largest diagonal (that row = axis_k * axis) and normalize.
-    near_pi = theta > jnp.pi - 1e-3
-    B = (R + jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), R.shape)) * 0.5
-    diag = jnp.stack([B[..., 0, 0], B[..., 1, 1], B[..., 2, 2]], axis=-1)
-    k = jnp.argmax(diag, axis=-1)
-    row = jnp.take_along_axis(B, k[..., None, None].repeat(3, axis=-1), axis=-2)[..., 0, :]
-    norm = jnp.linalg.norm(row, axis=-1, keepdims=True)
-    axis = row / jnp.where(norm > _EPS, norm, 1.0)
-    # sign: align with the antisymmetric part (which still carries sign info
-    # slightly away from exactly pi; at exactly pi both signs are valid logs).
-    sign = jnp.where(jnp.sum(axis * antisym, axis=-1, keepdims=True) < 0.0, -1.0, 1.0)
-    w_pi = sign * axis * theta[..., None]
-
-    return jnp.where(near_pi[..., None], w_pi, w_generic)
+    Via quaternion: w = 2 atan2(|qv|, qw) qv/|qv|, with a series fallback for
+    small |qv|. Smooth (JVP-safe) at theta=0 — unlike the arccos(trace)
+    formulation whose gradient blows up at the identity — and correct up to
+    theta=pi (sign from the quaternion extraction)."""
+    q = rot_to_quat(R)
+    qw = q[..., 0]
+    qv = q[..., 1:]
+    n2 = jnp.sum(qv * qv, axis=-1)
+    small = n2 < 1e-12
+    n2s = jnp.where(small, jnp.ones_like(n2), n2)
+    n = jnp.sqrt(n2s)
+    # angle/|qv| factor: 2 atan2(|qv|, qw)/|qv|; series 2/qw (1 - n2/(3 qw^2))
+    qw_safe = jnp.where(jnp.abs(qw) < _EPS, _EPS, qw)
+    factor = jnp.where(
+        small,
+        2.0 / qw_safe - 2.0 * n2 / (3.0 * qw_safe**3),
+        2.0 * jnp.arctan2(n, qw) / n,
+    )
+    return factor[..., None] * qv
 
 
 def se3_exp(xi):
     """se3 tangent [omega, upsilon] (..., 6) -> (..., 4, 4) transform.
 
-    Matches g2o::SE3Quat::exp ordering (rotation part first).
+    Matches g2o::SE3Quat::exp ordering (rotation part first). JVP-safe at 0.
     """
     w = xi[..., :3]
     v = xi[..., 3:]
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(theta2 + _EPS * _EPS)
-    small = theta2 < 1e-8
-    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / (theta2 + _EPS * _EPS))
-    c = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (1.0 - a) / (theta2 + _EPS * _EPS))
+    a, b, c = _safe_coeffs_exp(theta2, xi.dtype)
     W = hat(w)
     WW = W @ W
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), W.shape)
@@ -117,21 +109,19 @@ def se3_exp(xi):
 
 
 def se3_log(T):
-    """(..., 4, 4) transform -> se3 tangent [omega, upsilon] (..., 6)."""
+    """(..., 4, 4) transform -> se3 tangent [omega, upsilon] (..., 6).
+    JVP-safe at the identity."""
     R = T[..., :3, :3]
     t = T[..., :3, 3]
     w = so3_log(R)
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(theta2 + _EPS * _EPS)
     small = theta2 < 1e-8
-    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / (theta2 + _EPS * _EPS))
-    # V^{-1} = I - W/2 + (1/t^2)(1 - a/(2b)) W^2
-    coef = jnp.where(
-        small,
-        1.0 / 12.0 + theta2 / 720.0,
-        (1.0 - a / (2.0 * b)) / (theta2 + _EPS * _EPS),
-    )
+    t2s = jnp.where(small, jnp.ones_like(theta2), theta2)
+    ts = jnp.sqrt(t2s)
+    a = jnp.sin(ts) / ts
+    b = (1.0 - jnp.cos(ts)) / t2s
+    # V^{-1} = I - W/2 + coef W^2, coef = (1 - a/(2b))/t^2
+    coef = jnp.where(small, 1.0 / 12.0 + theta2 / 720.0, (1.0 - a / (2.0 * b)) / t2s)
     W = hat(w)
     WW = W @ W
     eye = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), W.shape)

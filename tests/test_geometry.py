@@ -109,3 +109,24 @@ def test_jit_and_vmap_compatible():
     np.testing.assert_allclose(np.asarray(f(xi)), np.asarray(xi), atol=3e-4)
     g = jax.vmap(geo.se3_exp)
     assert g(xi).shape == (4, 4, 4)
+
+
+def test_gradients_finite_at_identity():
+    """jacfwd through exp/log at the zero tangent must be finite — the LM
+    solver linearizes exactly there (regression: arccos/0-div NaN traps)."""
+    J = jax.jacfwd(lambda dx: geo.se3_log(geo.se3_exp(dx) @ jnp.eye(4)))(
+        jnp.zeros(6, dtype=jnp.float32)
+    )
+    assert np.isfinite(np.asarray(J)).all()
+    np.testing.assert_allclose(np.asarray(J), np.eye(6), atol=1e-4)
+
+    T0 = geo.se3_exp(jnp.asarray([0.3, -0.2, 0.5, 1.0, 2.0, -0.5], dtype=jnp.float32))
+    J2 = jax.jacfwd(lambda dx: geo.se3_log(geo.inv_T(geo.se3_exp(dx) @ T0) @ (geo.se3_exp(dx) @ T0)))(
+        jnp.zeros(6, dtype=jnp.float32)
+    )
+    assert np.isfinite(np.asarray(J2)).all()
+
+    # gradient of so3_log at a rotation near pi stays finite
+    w = jnp.asarray([0.0, 0.0, 3.1], dtype=jnp.float32)
+    J3 = jax.jacfwd(lambda dw: geo.so3_log(geo.so3_exp(w + dw)))(jnp.zeros(3, dtype=jnp.float32))
+    assert np.isfinite(np.asarray(J3)).all()
