@@ -1,0 +1,287 @@
+"""ORB feature extraction — batched TPU kernels.
+
+Re-design of ORBextractor (orb_object_slam/src/ORBextractor.cc:1036
+operator(), :766 ComputeKeyPointsOctTree, :540 DistributeOctTree, :74
+IC_Angle, :1027 computeDescriptors) for SPMD hardware:
+
+* 8-level bilinear pyramid (scale 1.2) — one fixed-shape program per level,
+* FAST-9 segment test evaluated densely for the whole level at two
+  thresholds (the reference's per-cell 20-then-7 retry becomes a dense
+  dual-threshold select), corner score = max-min arc contrast,
+* spatial distribution: the sequential quadtree (DistributeOctTree) becomes
+  best-corner-per-grid-cell + global top-k — same intent (spread features,
+  keep strongest), fixed shapes,
+* orientation by intensity centroid over the radius-15 circular patch,
+* rotated-BRIEF 256-bit descriptors over the Gaussian-blurred level, with a
+  seeded deterministic sampling pattern (the learned OpenCV pattern is an
+  arbitrary constant; descriptors only ever match against our own, so a
+  reproducible generated pattern keeps behavior equivalent).
+
+All per-keypoint work (orientation, descriptors) is vmapped gathers; output
+is a fixed-capacity keypoint set (padded, masked).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from . import image as im_ops
+
+# FAST circle of 16 offsets (radius 3), OpenCV order
+_FAST_OFFSETS = np.array(
+    [
+        (0, 3), (1, 3), (2, 2), (3, 1), (3, 0), (3, -1), (2, -2), (1, -3),
+        (0, -3), (-1, -3), (-2, -2), (-3, -1), (-3, 0), (-3, 1), (-2, 2), (-1, 3),
+    ],
+    dtype=np.int32,
+)  # (dy, dx)? stored as (row_offset, col_offset) pairs below
+
+# OpenCV circle[] uses (x, y); we store (dy, dx) for row-major shifts:
+_FAST_DYDX = np.array([(-p[1], p[0]) for p in _FAST_OFFSETS], dtype=np.int32)
+
+
+def _shift2d(img, dy, dx):
+    H, W = img.shape
+    padded = jnp.pad(img, 3, mode="edge")
+    return lax.dynamic_slice(padded, (3 + dy, 3 + dx), (H, W))
+
+
+def fast_score(img, threshold):
+    """Dense FAST-9 response for every pixel of (H, W) f32.
+
+    Returns (is_corner bool (H, W), score f32 (H, W)). Score is the classic
+    arc contrast: max over the 16 contiguous 9-arcs of the minimum absolute
+    center difference, for arcs that are uniformly brighter or darker.
+    """
+    center = img
+    ring = jnp.stack([_shift2d(img, int(dy), int(dx)) for dy, dx in _FAST_DYDX])  # (16, H, W)
+    diff = ring - center[None]
+    brighter = diff > threshold
+    darker = diff < -threshold
+
+    def arc_test(mask, mag):
+        # all-of-9-contiguous for each start; min |diff| over the arc as score
+        best = jnp.zeros_like(center)
+        hit = jnp.zeros_like(center, dtype=bool)
+        for s in range(16):
+            ok = mask[s]
+            arc_min = mag[s]
+            for i in range(1, 9):
+                ok = ok & mask[(s + i) % 16]
+                arc_min = jnp.minimum(arc_min, mag[(s + i) % 16])
+            hit = hit | ok
+            best = jnp.maximum(best, jnp.where(ok, arc_min, 0.0))
+        return hit, best
+
+    hit_b, score_b = arc_test(brighter, diff)
+    hit_d, score_d = arc_test(darker, -diff)
+    return hit_b | hit_d, jnp.maximum(score_b, score_d)
+
+
+def _nms3x3(score):
+    m = score
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            m = jnp.maximum(m, _shift2d(score, dy, dx))
+    return score >= m
+
+
+def detect_level(img, max_kp, ini_threshold=20.0, min_threshold=7.0,
+                 cell_size=30, border=16):
+    """FAST keypoints for one pyramid level with spatial distribution.
+
+    Dual-threshold: prefer ini_threshold corners; cells without any fall
+    back to min_threshold (ComputeKeyPointsOctTree's per-cell retry,
+    ORBextractor.cc:790-830). Then best-per-cell + top-k stands in for
+    DistributeOctTree. Returns (xy (max_kp, 2) f32, score, valid).
+    """
+    H, W = img.shape
+    hit_hi, score_hi = fast_score(img, ini_threshold)
+    hit_lo, score_lo = fast_score(img, min_threshold)
+
+    yy = jnp.arange(H)[:, None]
+    xx = jnp.arange(W)[None, :]
+    inb = (yy >= border) & (yy < H - border) & (xx >= border) & (xx < W - border)
+
+    nms_hi = _nms3x3(score_hi) & hit_hi & inb
+    nms_lo = _nms3x3(score_lo) & hit_lo & inb
+
+    cell_r = (yy // cell_size).astype(jnp.int32)
+    cell_c = (xx // cell_size).astype(jnp.int32)
+    n_cr = (H + cell_size - 1) // cell_size
+    n_cc = (W + cell_size - 1) // cell_size
+    cell_id = (cell_r * n_cc + cell_c).reshape(-1)
+    n_cells = n_cr * n_cc
+
+    hi_any = jax.ops.segment_max(
+        jnp.where(nms_hi, 1, 0).reshape(-1), cell_id, num_segments=n_cells
+    )  # (n_cells,) 1 if cell has a high-threshold corner
+    use_hi = hi_any[cell_id].reshape(H, W) > 0
+    corner = jnp.where(use_hi, nms_hi, nms_lo)
+    score = jnp.where(use_hi, score_hi, score_lo)
+    score = jnp.where(corner, score, -1.0)
+
+    # best corner per cell: rank within cell by score
+    flat_score = score.reshape(-1)
+    cell_best = jax.ops.segment_max(flat_score, cell_id, num_segments=n_cells)
+    is_cell_best = flat_score >= jnp.where(cell_best[cell_id] > 0, cell_best[cell_id], 1e9)
+    # tie-break duplicates deterministically: first index wins
+    idx = jnp.arange(H * W)
+    first_best = jax.ops.segment_min(
+        jnp.where(is_cell_best, idx, H * W), cell_id, num_segments=n_cells
+    )
+    keep1 = jnp.zeros((H * W + 1,), dtype=bool).at[jnp.where(first_best < H * W, first_best, H * W)].set(True)[: H * W]
+
+    # remaining capacity filled by global top-k of the rest
+    primary = jnp.where(keep1, flat_score + 1e6, flat_score)  # cell-winners first
+    top_s, top_i = lax.top_k(primary, max_kp)
+    valid = top_s > 0
+    ky = (top_i // W).astype(jnp.float32)
+    kx = (top_i % W).astype(jnp.float32)
+    kscore = jnp.where(top_s > 1e5, top_s - 1e6, top_s)
+    return jnp.stack([kx, ky], axis=-1), kscore, valid
+
+
+# ---------------------------------------------------------------------------
+# orientation + descriptors
+# ---------------------------------------------------------------------------
+
+_PATCH_R = 15  # HALF_PATCH_SIZE (ORBextractor.cc:57)
+# per-row max column offset of the circular patch (u_max table, :1052-1065)
+_UMAX = np.array([int(math.floor(math.sqrt(_PATCH_R**2 - v**2) + 0.5)) for v in range(_PATCH_R + 1)])
+
+_PATCH_MASK = np.zeros((2 * _PATCH_R + 1, 2 * _PATCH_R + 1), dtype=np.float32)
+for _v in range(-_PATCH_R, _PATCH_R + 1):
+    _u = _UMAX[abs(_v)]
+    _PATCH_MASK[_v + _PATCH_R, _PATCH_R - _u : _PATCH_R + _u + 1] = 1.0
+
+_VGRID = np.arange(-_PATCH_R, _PATCH_R + 1, dtype=np.float32)
+
+
+def ic_angle(img, xy, valid):
+    """Intensity-centroid orientation (IC_Angle, ORBextractor.cc:74-113).
+
+    img: (H, W); xy: (N, 2) float pixel coords; returns angle (N,) radians.
+    """
+    H, W = img.shape
+    P = 2 * _PATCH_R + 1
+    mask = jnp.asarray(_PATCH_MASK)
+    vg = jnp.asarray(_VGRID)
+
+    def one(pt):
+        y0 = jnp.clip(pt[1].astype(jnp.int32) - _PATCH_R, 0, H - P)
+        x0 = jnp.clip(pt[0].astype(jnp.int32) - _PATCH_R, 0, W - P)
+        patch = lax.dynamic_slice(img, (y0, x0), (P, P)) * mask
+        m10 = jnp.sum(patch * vg[None, :])
+        m01 = jnp.sum(patch * vg[:, None])
+        return jnp.arctan2(m01, m10)
+
+    ang = jax.vmap(one)(xy)
+    return jnp.where(valid, ang, 0.0)
+
+
+def _make_brief_pattern(seed=42, n_pairs=256, sigma=_PATCH_R / 2.0, bound=_PATCH_R - 2):
+    """Deterministic Gaussian BRIEF pattern (stand-in for the learned OpenCV
+    table — an arbitrary constant; our descriptors only match each other)."""
+    rng = np.random.default_rng(seed)
+    pts = np.clip(rng.normal(0.0, sigma, size=(n_pairs, 2, 2)), -bound, bound)
+    return pts.astype(np.float32)  # (256, 2 [a,b], 2 [x,y])
+
+
+_BRIEF_PATTERN = _make_brief_pattern()
+
+
+def brief_descriptors(img_blurred, xy, angle, valid):
+    """Rotated-BRIEF (computeOrbDescriptor, ORBextractor.cc:~115-140):
+    rotate the 256 sampling pairs by the keypoint angle, compare intensities
+    on the blurred level, pack to (N, 8) uint32."""
+    H, W = img_blurred.shape
+    pattern = jnp.asarray(_BRIEF_PATTERN)  # (256, 2, 2)
+
+    def one(pt, ang):
+        c, s = jnp.cos(ang), jnp.sin(ang)
+        rot = jnp.stack([jnp.stack([c, -s]), jnp.stack([s, c])])  # (2, 2)
+        pts = pattern @ rot.T  # (256, 2, 2) rotated (x, y)
+        px = jnp.clip(jnp.round(pt[0] + pts[..., 0]).astype(jnp.int32), 0, W - 1)
+        py = jnp.clip(jnp.round(pt[1] + pts[..., 1]).astype(jnp.int32), 0, H - 1)
+        va = img_blurred[py[:, 0], px[:, 0]]
+        vb = img_blurred[py[:, 1], px[:, 1]]
+        bits = (va < vb).astype(jnp.uint32)  # (256,)
+        words = bits.reshape(8, 32) << jnp.arange(32, dtype=jnp.uint32)[None, :]
+        return jnp.sum(words, axis=1).astype(jnp.uint32)
+
+    desc = jax.vmap(one)(xy, angle)
+    return jnp.where(valid[:, None], desc, 0)
+
+
+class OrbPyramidConfig:
+    """Mirror of the ORB settings block (Examples/Monocular/*.yaml:
+    nFeatures, scaleFactor 1.2, nLevels 8, iniThFAST 20, minThFAST 7)."""
+
+    def __init__(self, n_features=1000, scale_factor=1.2, n_levels=8,
+                 ini_th=20.0, min_th=7.0):
+        self.n_features = n_features
+        self.scale_factor = scale_factor
+        self.n_levels = n_levels
+        self.ini_th = ini_th
+        self.min_th = min_th
+        # per-level feature quota (ORBextractor.cc ctor: geometric split)
+        factor = 1.0 / scale_factor
+        n_desired = n_features * (1 - factor) / (1 - factor**n_levels)
+        self.per_level = []
+        acc = 0
+        for i in range(n_levels - 1):
+            k = int(round(n_desired))
+            self.per_level.append(k)
+            acc += k
+            n_desired *= factor
+        self.per_level.append(max(n_features - acc, 0))
+        self.scales = [scale_factor**i for i in range(n_levels)]
+
+
+def extract_orb(gray, cfg: OrbPyramidConfig):
+    """Full ORB extraction (host orchestrates per-level jitted kernels).
+
+    gray: (H, W) f32 numpy/jnp. Returns dict of padded arrays:
+      xy (N, 2) level-0 coords, level (N,), angle (N,), score (N,),
+      desc (N, 8) uint32, valid (N,), octave scale factors.
+    N = sum of per-level quotas (static for a given config).
+    """
+    gray = jnp.asarray(gray, dtype=jnp.float32)
+    out_xy, out_lvl, out_ang, out_sc, out_desc, out_valid = [], [], [], [], [], []
+    level_img = gray
+    for lvl in range(cfg.n_levels):
+        if lvl > 0:
+            H0, W0 = gray.shape
+            h = int(round(H0 / cfg.scales[lvl]))
+            w = int(round(W0 / cfg.scales[lvl]))
+            level_img = jax.image.resize(gray, (h, w), method="linear")
+        quota = cfg.per_level[lvl]
+        xy, score, valid = detect_level(
+            level_img, max_kp=quota, ini_threshold=cfg.ini_th, min_threshold=cfg.min_th
+        )
+        ang = ic_angle(level_img, xy, valid)
+        blurred = im_ops.gaussian_blur(level_img, sigma=2.0, radius=3)
+        desc = brief_descriptors(blurred, xy, ang, valid)
+        out_xy.append(xy * cfg.scales[lvl])  # scale back to level-0 coords
+        out_lvl.append(jnp.full((quota,), lvl, dtype=jnp.int32))
+        out_ang.append(ang)
+        out_sc.append(score)
+        out_desc.append(desc)
+        out_valid.append(valid)
+    return {
+        "xy": jnp.concatenate(out_xy),
+        "level": jnp.concatenate(out_lvl),
+        "angle": jnp.concatenate(out_ang),
+        "score": jnp.concatenate(out_sc),
+        "desc": jnp.concatenate(out_desc),
+        "valid": jnp.concatenate(out_valid),
+    }
