@@ -50,8 +50,29 @@ def filter_inside_box(lines, left_top, right_bottom):
 
 def merge_break_lines(lines, pre_merge_dist_thre=20.0, pre_merge_angle_thre_deg=5.0,
                       edge_length_threshold=30.0):
-    """Greedy merge of broken collinear segments, exact parity with
-    object_3d_util.cpp:300-376.
+    """Greedy merge of broken collinear segments (semantics of
+    object_3d_util.cpp:300-376). Dispatches to the native C++ runtime
+    (runtime/merge_lines.cpp, ~100x faster than the Python loop) and falls
+    back to the pure-Python implementation below when no toolchain exists.
+    """
+    lines = np.asarray(lines, dtype=np.float64)
+    if lines.size == 0:
+        return lines.reshape(0, 4)
+    from .. import runtime as native_rt
+
+    out = native_rt.merge_break_lines_native(
+        lines, pre_merge_dist_thre, pre_merge_angle_thre_deg, edge_length_threshold
+    )
+    if out is not None:
+        return out
+    return merge_break_lines_py(
+        lines, pre_merge_dist_thre, pre_merge_angle_thre_deg, edge_length_threshold
+    )
+
+
+def merge_break_lines_py(lines, pre_merge_dist_thre=20.0, pre_merge_angle_thre_deg=5.0,
+                         edge_length_threshold=30.0):
+    """Pure-Python exact-parity greedy merge (reference implementation).
 
     Repeatedly scans pairs (seg1 < seg2) in index order; the first pair that
     is (angle-close, endpoint-close, merged-angle-still-close) is merged into
