@@ -1,0 +1,267 @@
+"""Bundle adjustment: pose-only LM and point BA with blocked Schur.
+
+TPU-native re-design of Optimizer.cc:
+
+* `pose_optimization` — per-frame pose-only LM with Huber kernel and the
+  4-round chi-square outlier re-leveling (Optimizer::PoseOptimization,
+  Optimizer.cc:253-472: 4 x 10 iterations, outliers at 5.991 excluded
+  between rounds).
+* `local_ba_points` — camera+point BA (Optimizer::LocalBundleAdjustment,
+  :474-824) as a dense-BLOCKED Schur solver: per-observation 2x6/2x3
+  Jacobian blocks from vmapped autodiff, segment-sum assembly of Hcc/Hpp/W,
+  the reduced camera system S = Hcc - W Hpp^-1 W^T formed with one big
+  matmul (MXU food), Cholesky on S, back-substitution for points.
+
+Edges are padded arrays (obs_kf, obs_pt, uv, sqrt_info, valid); masked
+edges contribute zeros everywhere. Huber weighting is IRLS-style: residuals
+are rescaled by sqrt(rho'(chi2)) inside the residual evaluation, which
+matches g2o's robustified quadratic model to first order.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..utils import geometry as geo
+
+CHI2_MONO = 5.991
+HUBER_MONO = float(np.sqrt(5.991))
+
+
+def _project(Tcw, K, pt):
+    pc = Tcw[:3, :3] @ pt + Tcw[:3, 3]
+    z = jnp.where(jnp.abs(pc[2]) < 1e-9, 1e-9, pc[2])
+    uv = (K @ pc)[:2] / z
+    return uv, pc[2]
+
+
+def huber_weight(chi2, delta=HUBER_MONO):
+    """sqrt of the IRLS weight for the Huber kernel."""
+    e = jnp.sqrt(jnp.maximum(chi2, 1e-18))
+    return jnp.where(e <= delta, 1.0, jnp.sqrt(delta / e))
+
+
+# ---------------------------------------------------------------------------
+# pose-only optimization
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("num_rounds", "iters_per_round"))
+def pose_optimization(Tcw0, K, pts_world, uv_meas, sqrt_info, valid,
+                      num_rounds: int = 4, iters_per_round: int = 10):
+    """Optimize one camera pose against fixed map points.
+
+    Tcw0 (4, 4); pts_world (N, 3); uv_meas (N, 2); sqrt_info (N,) = 1/sigma
+    per observation (pyramid-level dependent); valid (N,).
+
+    Returns (Tcw, inlier_mask, n_inliers). Mirrors PoseOptimization's
+    round structure: optimize, re-classify outliers at chi2 > 5.991,
+    repeat with outliers excluded (they may return in later rounds).
+    """
+
+    def edge_chi2(Tcw, active):
+        uv, _ = jax.vmap(lambda p: _project(Tcw, K, p))(pts_world)
+        r = (uv - uv_meas) * sqrt_info[:, None]
+        chi2 = jnp.sum(r * r, axis=-1)
+        return chi2
+
+    def lm_round(Tcw, active):
+        def residual(dx):
+            T = geo.se3_exp(dx) @ Tcw
+            uv, _ = jax.vmap(lambda p: _project(T, K, p))(pts_world)
+            r = (uv - uv_meas) * sqrt_info[:, None]
+            chi2 = jnp.sum(r * r, axis=-1)
+            # IRLS: freeze the robust weight at the current iterate —
+            # differentiating through it corrupts the GN direction
+            w = lax.stop_gradient(huber_weight(chi2))[:, None]
+            r = r * w * active[:, None]
+            return r.reshape(-1)
+
+        def chi2_of(T):
+            uv, _ = jax.vmap(lambda p: _project(T, K, p))(pts_world)
+            r = (uv - uv_meas) * sqrt_info[:, None]
+            chi2 = jnp.sum(r * r, axis=-1)
+            # robustified cost
+            e = jnp.sqrt(jnp.maximum(chi2, 1e-18))
+            rho = jnp.where(
+                e <= HUBER_MONO, chi2, 2 * HUBER_MONO * e - HUBER_MONO**2
+            )
+            return jnp.sum(rho * active)
+
+        def body(i, state):
+            T, lam, chi2 = state
+            r0 = residual(jnp.zeros(6))
+            J = jax.jacfwd(residual)(jnp.zeros(6))
+            H = J.T @ J
+            g = J.T @ r0
+            A = H + lam * jnp.eye(6)
+            L, low = jax.scipy.linalg.cho_factor(A, lower=True)
+            dx = jax.scipy.linalg.cho_solve((L, low), -g)
+            T_new = geo.se3_exp(dx) @ T
+            c_new = chi2_of(T_new)
+            accept = (c_new < chi2) & jnp.isfinite(c_new)
+            T = jax.tree.map(lambda a, b: jnp.where(accept, a, b), T_new, T)
+            lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+            return T, lam, jnp.where(accept, c_new, chi2)
+
+        chi0 = chi2_of(Tcw)
+        T, _, _ = lax.fori_loop(0, iters_per_round, body, (Tcw, 1e-3, chi0))
+        return T
+
+    active = valid.astype(jnp.float32)
+    Tcw = Tcw0
+    for _ in range(num_rounds):
+        Tcw = lm_round(Tcw, active)
+        chi2 = edge_chi2(Tcw, active)
+        active = (valid & (chi2 <= CHI2_MONO)).astype(jnp.float32)
+    inlier = active > 0
+    return Tcw, inlier, jnp.sum(inlier)
+
+
+# ---------------------------------------------------------------------------
+# camera + point BA with blocked Schur complement
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit, static_argnames=("num_iters", "n_kf", "n_pt")
+)
+def local_ba_points(
+    kf_tcw,        # (Kf, 4, 4)
+    pts,           # (P, 3)
+    K,             # (3, 3)
+    obs_kf,        # (E,) int32
+    obs_pt,        # (E,) int32
+    obs_uv,        # (E, 2)
+    obs_sqrt_info, # (E,)
+    obs_valid,     # (E,) bool
+    kf_fixed,      # (Kf,) bool — fixed camera vertices
+    pt_valid,      # (P,) bool
+    num_iters: int = 5,
+    n_kf: int = 0,
+    n_pt: int = 0,
+):
+    """Joint camera-point BA, monocular reprojection edges only.
+
+    Returns (kf_tcw, pts, chi2_final, edge_inlier). One LM iteration:
+    per-edge Jacobians (vmapped jacfwd over the 9 local dofs), blocked
+    assembly, Schur-reduced camera solve, point back-substitution.
+    """
+    Kf = kf_tcw.shape[0]
+    P = pts.shape[0]
+    E = obs_kf.shape[0]
+
+    kf_free = (~kf_fixed) & jnp.ones((Kf,), dtype=bool)
+    cam_mask = kf_free.astype(jnp.float32)  # (Kf,)
+    pt_mask = pt_valid.astype(jnp.float32)
+
+    def edge_residual(Tcw, pt, uv, si):
+        uv_p, _ = _project(Tcw, K, pt)
+        return (uv_p - uv) * si
+
+    def all_residuals(kf_tcw, pts):
+        T_e = kf_tcw[obs_kf]
+        p_e = pts[obs_pt]
+        r = jax.vmap(edge_residual)(T_e, p_e, obs_uv, obs_sqrt_info)  # (E, 2)
+        chi2 = jnp.sum(r * r, axis=-1)
+        w = huber_weight(chi2)
+        r = r * (w * obs_valid)[:, None]
+        return r, chi2
+
+    def robust_cost(kf_tcw, pts):
+        _, chi2 = all_residuals(kf_tcw, pts)
+        e = jnp.sqrt(jnp.maximum(chi2, 1e-18))
+        rho = jnp.where(e <= HUBER_MONO, chi2, 2 * HUBER_MONO * e - HUBER_MONO**2)
+        return jnp.sum(rho * obs_valid)
+
+    def edge_jacobians(kf_tcw, pts):
+        """Per-edge (r (2,), Jc (2,6), Jp (2,3)) at the zero local tangent."""
+
+        def local_r(dx, T, p, uv, si, w):
+            T2 = geo.se3_exp(dx[:6]) @ T
+            return edge_residual(T2, p + dx[6:], uv, si) * w
+
+        T_e = kf_tcw[obs_kf]
+        p_e = pts[obs_pt]
+        r, chi2 = all_residuals(kf_tcw, pts)
+        # IRLS weight frozen at current iterate (see pose_optimization)
+        w = lax.stop_gradient(huber_weight(chi2)) * obs_valid
+        J = jax.vmap(
+            lambda T, p, uv, si, ww: jax.jacfwd(
+                lambda dx: local_r(dx, T, p, uv, si, ww)
+            )(jnp.zeros(9))
+        )(T_e, p_e, obs_uv, obs_sqrt_info, w)  # (E, 2, 9)
+        return r, J[..., :6], J[..., 6:]
+
+    def lm_step(kf_tcw, pts, lam):
+        r, Jc, Jp = edge_jacobians(kf_tcw, pts)
+
+        # block accumulations
+        Hcc = jax.ops.segment_sum(
+            jnp.einsum("eai,eaj->eij", Jc, Jc), obs_kf, num_segments=Kf
+        )  # (Kf, 6, 6)
+        Hpp = jax.ops.segment_sum(
+            jnp.einsum("eai,eaj->eij", Jp, Jp), obs_pt, num_segments=P
+        )  # (P, 3, 3)
+        bc = jax.ops.segment_sum(
+            jnp.einsum("eai,ea->ei", Jc, r), obs_kf, num_segments=Kf
+        )  # (Kf, 6)
+        bp = jax.ops.segment_sum(
+            jnp.einsum("eai,ea->ei", Jp, r), obs_pt, num_segments=P
+        )  # (P, 3)
+        W_blocks = jnp.einsum("eai,eaj->eij", Jc, Jp)  # (E, 6, 3)
+        # dense (Kf, P) block grid of W
+        W = jax.ops.segment_sum(
+            W_blocks, obs_kf * P + obs_pt, num_segments=Kf * P
+        ).reshape(Kf, P, 6, 3)
+
+        # damping + masks
+        eye3 = jnp.eye(3)
+        Hpp_d = Hpp + (lam + 1e-6) * eye3 + (1.0 - pt_mask)[:, None, None] * eye3
+        Hpp_inv = jnp.linalg.inv(Hpp_d) * pt_mask[:, None, None]
+
+        # reduced camera system S = Hcc_diag - W Hpp^-1 W^T (dense over KF)
+        Y = jnp.einsum("kpij,pjl->kpil", W, Hpp_inv)  # (Kf, P, 6, 3)
+        S_off = jnp.einsum("kpil,qpml->kqim", Y, W)  # (Kf, Kf, 6, 6)
+        S = -S_off
+        S = S.at[jnp.arange(Kf), jnp.arange(Kf)].add(Hcc + lam * jnp.eye(6))
+        rhs = -(bc - jnp.einsum("kpil,pl->ki", Y, bp))  # (Kf, 6)
+
+        # flatten, freeze fixed cameras
+        cm = jnp.repeat(cam_mask, 6)
+        S_f = (S.transpose(0, 2, 1, 3).reshape(Kf * 6, Kf * 6) * cm[:, None] * cm[None, :]
+               + jnp.diag(1.0 - cm))
+        rhs_f = rhs.reshape(-1) * cm
+        L, low = jax.scipy.linalg.cho_factor(S_f, lower=True)
+        dc = jax.scipy.linalg.cho_solve((L, low), rhs_f) * cm  # (Kf*6,)
+        dc_b = dc.reshape(Kf, 6)
+
+        # back-substitute points: dp = Hpp^-1 (-bp - W^T dc)
+        WT_dc = jnp.einsum("kpij,ki->pj", W, dc_b)  # (P, 3)
+        dp = jnp.einsum("pij,pj->pi", Hpp_inv, -bp - WT_dc) * pt_mask[:, None]
+
+        new_tcw = geo.se3_exp(dc_b) @ kf_tcw
+        new_pts = pts + dp
+        return new_tcw, new_pts
+
+    def body(i, state):
+        kf_tcw, pts, lam, cost = state
+        new_tcw, new_pts = lm_step(kf_tcw, pts, lam)
+        new_cost = robust_cost(new_tcw, new_pts)
+        accept = (new_cost < cost) & jnp.isfinite(new_cost)
+        kf_tcw = jnp.where(accept, new_tcw, kf_tcw)
+        pts = jnp.where(accept, new_pts, pts)
+        lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+        cost = jnp.where(accept, new_cost, cost)
+        return kf_tcw, pts, lam, cost
+
+    cost0 = robust_cost(kf_tcw, pts)
+    kf_tcw, pts, _, cost = lax.fori_loop(
+        0, num_iters, body, (kf_tcw, pts, 1e-4, cost0)
+    )
+    _, chi2 = all_residuals(kf_tcw, pts)
+    edge_inlier = obs_valid & (chi2 <= CHI2_MONO)
+    return kf_tcw, pts, cost, edge_inlier

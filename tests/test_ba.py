@@ -1,0 +1,113 @@
+import jax.numpy as jnp
+import numpy as np
+
+from cube_slam_tpu.graph import ba
+from cube_slam_tpu.utils import geometry as geo
+
+K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]], dtype=np.float32)
+
+
+def _scene(n_kf=4, n_pt=60, seed=0):
+    rng = np.random.default_rng(seed)
+    pts = np.stack(
+        [rng.uniform(-2, 2, n_pt), rng.uniform(-1.5, 1.5, n_pt), rng.uniform(5, 10, n_pt)],
+        axis=1,
+    ).astype(np.float32)
+    tcw = []
+    for i in range(n_kf):
+        xi = np.concatenate([0.05 * rng.normal(size=3), [0.4 * i, 0.02 * i, 0.0]])
+        tcw.append(np.asarray(geo.se3_exp(jnp.asarray(xi, dtype=jnp.float32))))
+    tcw = np.stack(tcw)
+    obs_kf, obs_pt, obs_uv = [], [], []
+    for i in range(n_kf):
+        Xc = pts @ tcw[i][:3, :3].T + tcw[i][:3, 3]
+        uv = Xc @ K.T
+        uv = uv[:, :2] / uv[:, 2:3]
+        for j in range(n_pt):
+            if 0 <= uv[j, 0] < 640 and 0 <= uv[j, 1] < 480 and Xc[j, 2] > 0:
+                obs_kf.append(i)
+                obs_pt.append(j)
+                obs_uv.append(uv[j])
+    return tcw, pts, np.asarray(obs_kf), np.asarray(obs_pt), np.stack(obs_uv)
+
+
+def test_pose_optimization_recovers_pose():
+    tcw, pts, okf, opt, ouv = _scene(n_kf=1)
+    sel = okf == 0
+    uv = ouv[sel].astype(np.float32)
+    pw = pts[opt[sel]]
+    rng = np.random.default_rng(1)
+    T0 = np.asarray(
+        geo.se3_exp(jnp.asarray(0.1 * rng.normal(size=6), dtype=jnp.float32))
+    ) @ tcw[0]
+    # add some gross outliers
+    uv_noisy = uv.copy()
+    uv_noisy[:5] += 80.0
+    T, inlier, n_in = ba.pose_optimization(
+        jnp.asarray(T0), jnp.asarray(K), jnp.asarray(pw), jnp.asarray(uv_noisy),
+        jnp.ones(len(uv), dtype=jnp.float32), jnp.ones(len(uv), dtype=bool),
+    )
+    err = np.asarray(geo.se3_log(jnp.asarray(np.linalg.inv(tcw[0])) @ T))
+    assert np.linalg.norm(err) < 5e-3, f"pose error {np.linalg.norm(err)}"
+    inlier = np.asarray(inlier)
+    assert not inlier[:5].any()  # outliers rejected
+    assert inlier[5:].mean() > 0.95
+
+
+def test_local_ba_converges_from_noisy_init():
+    tcw_true, pts_true, okf, opt, ouv = _scene()
+    rng = np.random.default_rng(2)
+    n_kf, n_pt = len(tcw_true), len(pts_true)
+    tcw0 = tcw_true.copy()
+    for i in range(2, n_kf):  # KF 0 and 1 stay true (they are the fixed gauge)
+        xi = 0.03 * rng.normal(size=6).astype(np.float32)
+        tcw0[i] = np.asarray(geo.se3_exp(jnp.asarray(xi))) @ tcw0[i]
+    pts0 = pts_true + 0.08 * rng.normal(size=pts_true.shape).astype(np.float32)
+
+    E = len(okf)
+    out_tcw, out_pts, cost, inl = ba.local_ba_points(
+        jnp.asarray(tcw0), jnp.asarray(pts0), jnp.asarray(K),
+        jnp.asarray(okf, dtype=jnp.int32), jnp.asarray(opt, dtype=jnp.int32),
+        jnp.asarray(ouv, dtype=jnp.float32), jnp.ones(E, dtype=jnp.float32),
+        jnp.ones(E, dtype=bool),
+        # two fixed KFs anchor the mono gauge INCLUDING scale
+        jnp.asarray([True, True] + [False] * (n_kf - 2)),
+        jnp.ones(n_pt, dtype=bool),
+        num_iters=15,
+    )
+    out_tcw = np.asarray(out_tcw)
+    pose_errs = [
+        np.linalg.norm(np.asarray(geo.se3_log(jnp.asarray(np.linalg.inv(tcw_true[i]) @ out_tcw[i]))))
+        for i in range(n_kf)
+    ]
+    assert max(pose_errs) < 0.02, f"pose errors {pose_errs}"
+    pt_err = np.linalg.norm(np.asarray(out_pts) - pts_true, axis=1)
+    assert np.median(pt_err) < 0.02, f"median point error {np.median(pt_err)}"
+    assert float(cost) < 1.0
+
+
+def test_local_ba_masks_padding():
+    """Padded (invalid) points/edges/KFs must not corrupt the solution."""
+    tcw_true, pts_true, okf, opt, ouv = _scene(n_kf=3, n_pt=40)
+    n_kf, n_pt = 4, 64  # pad
+    E_pad = len(okf) + 32
+    tcw0 = np.concatenate([tcw_true, np.eye(4, dtype=np.float32)[None]])
+    pts0 = np.concatenate([pts_true, np.zeros((n_pt - 40, 3), dtype=np.float32)])
+    okf_p = np.concatenate([okf, np.zeros(32, dtype=np.int64)])
+    opt_p = np.concatenate([opt, np.full(32, 50, dtype=np.int64)])
+    ouv_p = np.concatenate([ouv, np.zeros((32, 2))])
+    valid = np.concatenate([np.ones(len(okf), bool), np.zeros(32, bool)])
+
+    out_tcw, out_pts, cost, inl = ba.local_ba_points(
+        jnp.asarray(tcw0), jnp.asarray(pts0.astype(np.float32)), jnp.asarray(K),
+        jnp.asarray(okf_p, dtype=jnp.int32), jnp.asarray(opt_p, dtype=jnp.int32),
+        jnp.asarray(ouv_p, dtype=jnp.float32), jnp.ones(E_pad, dtype=jnp.float32),
+        jnp.asarray(valid),
+        jnp.asarray([True, False, False, False]),
+        jnp.asarray([True] * 40 + [False] * (n_pt - 40)),
+        num_iters=8,
+    )
+    assert np.isfinite(np.asarray(out_tcw)).all()
+    assert np.isfinite(np.asarray(out_pts)).all()
+    # true observations still explain the solution
+    assert float(cost) < 1.0
