@@ -1,0 +1,315 @@
+"""Camera + point + cuboid-object bundle adjustment.
+
+Re-design of Optimizer::LocalBACameraPointObjects (orb_object_slam/src/
+Optimizer.cc:826-1534): the optimizer that makes CubeSLAM CubeSLAM. Three
+edge families over one reduced system:
+
+* point reprojection (camera <-> point), Schur-eliminated points,
+* camera-object 2D bbox projection (EdgeSE3CuboidProj, g2o_Object.cpp:
+  118-153): project the cuboid's 8 corners, bound them, compare
+  [cx cy w h] to the detected box; Huber delta = 30 px, information
+  proportional to camera_object_BA_weight * quality^2 (Optimizer.cc:
+  1279-1366),
+* object-point hinge (EdgePointCuboidOnlyObject, g2o_Object.cpp:300-354):
+  owned map points pull the cuboid around them; points enter as constants
+  in this family (the reference's unary edge), realized with stop_gradient.
+
+Cameras and objects form the reduced block (objects are few); points are
+eliminated exactly as in graph/ba.py. Object scale can be frozen per
+object (VertexCuboidFixScale, the KITTI car prior 1.9420/0.8143/0.7631,
+Optimizer.cc:994).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..models import cuboid as cb
+from ..utils import geometry as geo
+from .ba import CHI2_MONO, HUBER_MONO, _project, huber_weight
+
+HUBER_BBOX = 30.0
+HUBER_PT_OBJ = 0.5  # ~sqrt(chi2) scale of the point-in-box hinge
+
+
+def _robust(r, delta, valid):
+    """IRLS-whiten a residual row vector with a Huber kernel (frozen)."""
+    chi2 = jnp.sum(r * r, axis=-1)
+    e = jnp.sqrt(jnp.maximum(chi2, 1e-18))
+    w = jnp.where(e <= delta, 1.0, jnp.sqrt(delta / e))
+    return r * (lax.stop_gradient(w) * valid)[..., None]
+
+
+def _robust_cost(r, delta, valid):
+    chi2 = jnp.sum(r * r, axis=-1)
+    e = jnp.sqrt(jnp.maximum(chi2, 1e-18))
+    rho = jnp.where(e <= delta, chi2, 2 * delta * e - delta * delta)
+    return jnp.sum(rho * valid)
+
+
+@functools.partial(jax.jit, static_argnames=("num_iters",))
+def local_ba_objects(
+    kf_tcw,          # (Kf, 4, 4)
+    pts,             # (P, 3)
+    obj_pose,        # (O, 4, 4) object->world
+    obj_scale,       # (O, 3)
+    K,               # (3, 3)
+    # point reprojection edges
+    obs_kf, obs_pt, obs_uv, obs_si, obs_valid,
+    # camera-object bbox edges
+    box_kf, box_obj, box_meas, box_si, box_valid,
+    # object-point hinge edges
+    po_obj, po_pt, po_si, po_valid,
+    # masks
+    kf_fixed, pt_valid, obj_valid, obj_fix_scale,
+    num_iters: int = 10,
+):
+    """Returns (kf_tcw, pts, obj_pose, obj_scale, cost, reproj_inlier,
+    box_inlier)."""
+    Kf = kf_tcw.shape[0]
+    P = pts.shape[0]
+    O = obj_pose.shape[0]
+    D = Kf * 6 + O * 9
+
+    cam_mask = jnp.repeat((~kf_fixed).astype(jnp.float32), 6)
+    scale_keep = jnp.concatenate(
+        [jnp.ones((O, 6)), jnp.where(obj_fix_scale[:, None], 0.0, 1.0).repeat(3, axis=1)],
+        axis=1,
+    )  # (O, 9)
+    obj_mask = (obj_valid[:, None].astype(jnp.float32) * scale_keep).reshape(-1)
+    C_mask = jnp.concatenate([cam_mask, obj_mask])
+
+    def unpack(state):
+        return state
+
+    def retract(state, dC, dp):
+        kf_tcw, pts, obj_pose, obj_scale = state
+        dc = (dC[: Kf * 6]).reshape(Kf, 6)
+        do = (dC[Kf * 6 :]).reshape(O, 9)
+        new_tcw = geo.se3_exp(dc) @ kf_tcw
+        cub = cb.exp_update(cb.Cuboid(obj_pose, obj_scale), do)
+        return (new_tcw, pts + dp, cub.pose, cub.scale)
+
+    # ---------------- residual families -------------------------------
+    def reproj_r(state):
+        kf_tcw, pts, _, _ = state
+        T_e = kf_tcw[obs_kf]
+        p_e = pts[obs_pt]
+
+        def one(T, p, uv, si):
+            uv_p, _ = _project(T, K, p)
+            return (uv_p - uv) * si
+
+        r = jax.vmap(one)(T_e, p_e, obs_uv, obs_si)
+        return _robust(r, HUBER_MONO, obs_valid), r
+
+    def bbox_r(state):
+        kf_tcw, _, obj_pose, obj_scale = state
+        T_e = kf_tcw[box_kf]
+        cub = cb.Cuboid(obj_pose[box_obj], obj_scale[box_obj])
+        rect = cb.project_onto_image_bbox(cub, T_e, K)  # (B, 4)
+        r = (rect - box_meas) * box_si[:, None]
+        return _robust(r, HUBER_BBOX, box_valid), r
+
+    def po_r(state):
+        _, pts, obj_pose, obj_scale = state
+        p_e = lax.stop_gradient(pts[po_pt])  # unary edge: points constant
+        cub = cb.Cuboid(obj_pose[po_obj], obj_scale[po_obj])
+        err = cb.point_boundary_error(cub, p_e[:, None, :])[:, 0, :]  # (Q, 3)
+        r = err * po_si[:, None]
+        return _robust(r, HUBER_PT_OBJ, po_valid), r
+
+    def total_cost(state):
+        _, rr = reproj_r(state)
+        _, rb = bbox_r(state)
+        _, rp = po_r(state)
+        return (
+            _robust_cost(rr, HUBER_MONO, obs_valid)
+            + _robust_cost(rb, HUBER_BBOX, box_valid)
+            + _robust_cost(rp, HUBER_PT_OBJ, po_valid)
+        )
+
+    # ---------------- one LM step -------------------------------------
+    def lm_step(state, lam):
+        kf_tcw, pts, obj_pose, obj_scale = state
+
+        # --- reproj family: blocks wrt cam (2, 6) and point (2, 3)
+        def reproj_local(dx, T, p, uv, si, w):
+            T2 = geo.se3_exp(dx[:6]) @ T
+            uv_p, _ = _project(T2, K, p + dx[6:])
+            return (uv_p - uv) * si * w
+
+        r_r, raw = reproj_r(state)
+        chi2_r = jnp.sum(raw * raw, axis=-1)
+        w_r = lax.stop_gradient(huber_weight(chi2_r, HUBER_MONO)) * obs_valid
+        J_r = jax.vmap(
+            lambda T, p, uv, si, w: jax.jacfwd(
+                lambda dx: reproj_local(dx, T, p, uv, si, w)
+            )(jnp.zeros(9))
+        )(kf_tcw[obs_kf], pts[obs_pt], obs_uv, obs_si, w_r)
+        Jc_r = J_r[..., :6]
+        Jp_r = J_r[..., 6:]
+
+        # --- bbox family: blocks wrt cam (4, 6) and object (4, 9)
+        def bbox_local(dx, T, opose, oscale, meas, si, w):
+            T2 = geo.se3_exp(dx[:6]) @ T
+            cub = cb.exp_update(cb.Cuboid(opose, oscale), dx[6:])
+            rect = cb.project_onto_image_bbox(cub, T2, K)
+            return (rect - meas) * si * w
+
+        _, rawb = bbox_r(state)
+        chi2_b = jnp.sum(rawb * rawb, axis=-1)
+        w_b = lax.stop_gradient(huber_weight(chi2_b, HUBER_BBOX)) * box_valid
+        rb_w = rawb * w_b[:, None]  # rawb already carries box_si
+        J_b = jax.vmap(
+            lambda T, op, os_, meas, si, w: jax.jacfwd(
+                lambda dx: bbox_local(dx, T, op, os_, meas, si, w)
+            )(jnp.zeros(15))
+        )(kf_tcw[box_kf], obj_pose[box_obj], obj_scale[box_obj], box_meas, box_si, w_b)
+        Jc_b = J_b[..., :6]
+        Jo_b = J_b[..., 6:]
+
+        # --- point-object family: blocks wrt object (3, 9)
+        def po_local(dx, op, os_, p, si, w):
+            cub = cb.exp_update(cb.Cuboid(op, os_), dx)
+            err = cb.point_boundary_error(cub, p[None, :])[0]
+            return err * si * w
+
+        _, rawp = po_r(state)
+        chi2_p = jnp.sum(rawp * rawp, axis=-1)
+        w_p = lax.stop_gradient(huber_weight(chi2_p, HUBER_PT_OBJ)) * po_valid
+        J_p = jax.vmap(
+            lambda op, os_, p, si, w: jax.jacfwd(
+                lambda dx: po_local(dx, op, os_, p, si, w)
+            )(jnp.zeros(9))
+        )(obj_pose[po_obj], obj_scale[po_obj], lax.stop_gradient(pts[po_pt]), po_si, w_p)
+
+        # whitened residuals with weights (raw already carries sqrt-info)
+        rr_w = raw * w_r[:, None]
+        rp_w = rawp * w_p[:, None]
+
+        # ---------------- assemble normal equations --------------------
+        # C super-block = [cams (Kf*6) ; objects (O*9)]
+        H_C = jnp.zeros((D, D))
+        b_C = jnp.zeros((D,))
+
+        # reproj: cam diag + W + point blocks
+        Hcc = jax.ops.segment_sum(
+            jnp.einsum("eai,eaj->eij", Jc_r, Jc_r), obs_kf, num_segments=Kf
+        )
+        Hpp = jax.ops.segment_sum(
+            jnp.einsum("eai,eaj->eij", Jp_r, Jp_r), obs_pt, num_segments=P
+        )
+        bc = jax.ops.segment_sum(jnp.einsum("eai,ea->ei", Jc_r, rr_w), obs_kf, num_segments=Kf)
+        bp = jax.ops.segment_sum(jnp.einsum("eai,ea->ei", Jp_r, rr_w), obs_pt, num_segments=P)
+        W = jax.ops.segment_sum(
+            jnp.einsum("eai,eaj->eij", Jc_r, Jp_r), obs_kf * P + obs_pt,
+            num_segments=Kf * P,
+        ).reshape(Kf, P, 6, 3)
+
+        # scatter cam-diag blocks into H_C
+        idx6 = jnp.arange(Kf)
+        Hcc_dense = jnp.zeros((Kf * 6, Kf * 6))
+        Hcc_dense = Hcc_dense.at[
+            (idx6[:, None, None] * 6 + jnp.arange(6)[None, :, None]),
+            (idx6[:, None, None] * 6 + jnp.arange(6)[None, None, :]),
+        ].add(Hcc)
+        H_C = H_C.at[: Kf * 6, : Kf * 6].add(Hcc_dense)
+        b_C = b_C.at[: Kf * 6].add(bc.reshape(-1))
+
+        # bbox: cam & object blocks, incl. cross terms
+        def scatter_pair(H_C, b_C, Jc, Jo, r_w, kf_i, obj_i):
+            # per-edge outer products scattered into the dense C system
+            Hcc_e = jnp.einsum("eai,eaj->eij", Jc, Jc)
+            Hoo_e = jnp.einsum("eai,eaj->eij", Jo, Jo)
+            Hco_e = jnp.einsum("eai,eaj->eij", Jc, Jo)
+            bc_e = jnp.einsum("eai,ea->ei", Jc, r_w)
+            bo_e = jnp.einsum("eai,ea->ei", Jo, r_w)
+            Hcc_s = jax.ops.segment_sum(Hcc_e, kf_i, num_segments=Kf)
+            Hoo_s = jax.ops.segment_sum(Hoo_e, obj_i, num_segments=O)
+            Hco_s = jax.ops.segment_sum(Hco_e, kf_i * O + obj_i, num_segments=Kf * O)
+            bc_s = jax.ops.segment_sum(bc_e, kf_i, num_segments=Kf)
+            bo_s = jax.ops.segment_sum(bo_e, obj_i, num_segments=O)
+
+            cam_rows = jnp.zeros((Kf * 6, Kf * 6)).at[
+                (jnp.arange(Kf)[:, None, None] * 6 + jnp.arange(6)[None, :, None]),
+                (jnp.arange(Kf)[:, None, None] * 6 + jnp.arange(6)[None, None, :]),
+            ].add(Hcc_s)
+            obj_rows = jnp.zeros((O * 9, O * 9)).at[
+                (jnp.arange(O)[:, None, None] * 9 + jnp.arange(9)[None, :, None]),
+                (jnp.arange(O)[:, None, None] * 9 + jnp.arange(9)[None, None, :]),
+            ].add(Hoo_s)
+            cross = Hco_s.reshape(Kf, O, 6, 9).transpose(0, 2, 1, 3).reshape(Kf * 6, O * 9)
+            H_C = H_C.at[: Kf * 6, : Kf * 6].add(cam_rows)
+            H_C = H_C.at[Kf * 6 :, Kf * 6 :].add(obj_rows)
+            H_C = H_C.at[: Kf * 6, Kf * 6 :].add(cross)
+            H_C = H_C.at[Kf * 6 :, : Kf * 6].add(cross.T)
+            b_C = b_C.at[: Kf * 6].add(bc_s.reshape(-1))
+            b_C = b_C.at[Kf * 6 :].add(bo_s.reshape(-1))
+            return H_C, b_C
+
+        H_C, b_C = scatter_pair(H_C, b_C, Jc_b, Jo_b, rb_w, box_kf, box_obj)
+
+        # point-object: object-only blocks
+        Hoo_p = jax.ops.segment_sum(
+            jnp.einsum("eai,eaj->eij", J_p, J_p), po_obj, num_segments=O
+        )
+        bo_p = jax.ops.segment_sum(jnp.einsum("eai,ea->ei", J_p, rp_w), po_obj, num_segments=O)
+        obj_rows_p = jnp.zeros((O * 9, O * 9)).at[
+            (jnp.arange(O)[:, None, None] * 9 + jnp.arange(9)[None, :, None]),
+            (jnp.arange(O)[:, None, None] * 9 + jnp.arange(9)[None, None, :]),
+        ].add(Hoo_p)
+        H_C = H_C.at[Kf * 6 :, Kf * 6 :].add(obj_rows_p)
+        b_C = b_C.at[Kf * 6 :].add(bo_p.reshape(-1))
+
+        # ---------------- Schur over points ---------------------------
+        eye3 = jnp.eye(3)
+        pt_mask = pt_valid.astype(jnp.float32)
+        Hpp_d = Hpp + (lam + 1e-6) * eye3 + (1.0 - pt_mask)[:, None, None] * eye3
+        Hpp_inv = jnp.linalg.inv(Hpp_d) * pt_mask[:, None, None]
+        Y = jnp.einsum("kpij,pjl->kpil", W, Hpp_inv)
+        S_cam = jnp.einsum("kpil,qpml->kqim", Y, W)  # (Kf, Kf, 6, 6)
+        S_cam_dense = S_cam.transpose(0, 2, 1, 3).reshape(Kf * 6, Kf * 6)
+        H_red = H_C.at[: Kf * 6, : Kf * 6].add(-S_cam_dense)
+        rhs = -b_C
+        rhs = rhs.at[: Kf * 6].add(jnp.einsum("kpil,pl->ki", Y, bp).reshape(-1))
+
+        A = H_red + lam * jnp.eye(D)
+        A = C_mask[:, None] * A * C_mask[None, :] + jnp.diag(1.0 - C_mask)
+        Lc, low = jax.scipy.linalg.cho_factor(A, lower=True)
+        dC = jax.scipy.linalg.cho_solve((Lc, low), rhs * C_mask) * C_mask
+
+        dc_cam = dC[: Kf * 6].reshape(Kf, 6)
+        WT_dc = jnp.einsum("kpij,ki->pj", W, dc_cam)
+        dp = jnp.einsum("pij,pj->pi", Hpp_inv, -bp - WT_dc) * pt_mask[:, None]
+        return retract(state, dC, dp)
+
+    def body(i, carry):
+        state, lam, cost = carry
+        new_state = lm_step(state, lam)
+        new_cost = total_cost(new_state)
+        accept = (new_cost < cost) & jnp.isfinite(new_cost)
+        state = jax.tree.map(lambda a, b: jnp.where(accept, a, b), new_state, state)
+        lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+        cost = jnp.where(accept, new_cost, cost)
+        return state, lam, cost
+
+    state0 = (kf_tcw, pts, obj_pose, obj_scale)
+    cost0 = total_cost(state0)
+    state, _, cost = lax.fori_loop(0, num_iters, body, (state0, 1e-4, cost0))
+
+    _, raw_r = reproj_r(state)
+    chi2_r = jnp.sum(raw_r * raw_r, axis=-1)
+    _, raw_b = bbox_r(state)
+    chi2_b = jnp.sum(raw_b * raw_b, axis=-1)
+    kf_tcw, pts, obj_pose, obj_scale = state
+    return (
+        kf_tcw, pts, obj_pose, obj_scale, cost,
+        obs_valid & (chi2_r <= CHI2_MONO),
+        box_valid & (chi2_b <= 900.0),
+    )

@@ -1,0 +1,510 @@
+"""Monocular SLAM system — the host driver over jitted kernels.
+
+Re-design of System/Tracking/LocalMapping (orb_object_slam/src/System.cc,
+Tracking.cc, LocalMapping.cc) in the reference's `parallel_mapping=false`
+configuration (Tracking.cc:775-780): the deterministic sequential schedule
+where mapping runs inline after each keyframe insertion — the reference's
+own determinism switch, and the natural shape for a host loop dispatching
+fused device programs. The pthread pipeline (System.cc:104-117) becomes
+per-frame kernel launches; all shared-state mutexes disappear because map
+state is owned by this single driver.
+
+Pipeline per frame (Tracking::Track, Tracking.cc:480-780):
+  ORB extraction -> (init | motion-model tracking -> local-map tracking)
+  -> keyframe decision -> inline local mapping (triangulation, culling,
+  local BA).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph import ba
+from ..ops import matching, orb
+from ..utils import np_geometry as np_geo
+from . import initializer as ini
+from . import tracking as trk
+from .state import FrameFeatures, MapState
+
+
+@dataclass
+class TrackerConfig:
+    n_features: int = 512
+    n_levels: int = 8
+    max_kf: int = 96
+    max_mp: int = 12288
+    match_radius_motion: float = 15.0
+    match_radius_local: float = 6.0
+    min_inliers_track: int = 10
+    min_inliers_local: int = 20
+    new_kf_min_frames: int = 0
+    new_kf_max_frames: int = 10
+    new_kf_ref_ratio: float = 0.9
+    local_ba_kfs: int = 6
+    triangulate_neighbors: int = 3
+    local_ba_iters: int = 6
+    max_obs_edges: int = 8192
+    min_init_kps: int = 100
+    min_init_matches: int = 100
+    init_ratio: float = 0.9
+    init_max_dist: int = 50
+
+
+class MonocularTracker:
+    """TrackMonocular-equivalent API over the TPU kernels."""
+
+    def __init__(self, K, img_wh, config: TrackerConfig | None = None):
+        self.cfg = config or TrackerConfig()
+        self.K = np.asarray(K, dtype=np.float32)
+        self.img_wh = np.asarray(img_wh, dtype=np.float32)
+        self.orb_cfg = orb.OrbPyramidConfig(
+            n_features=self.cfg.n_features, n_levels=self.cfg.n_levels
+        )
+        self.map = MapState(max_kf=self.cfg.max_kf, max_mp=self.cfg.max_mp,
+                            n_kp=self._n_kp_total())
+        self.state = "NOT_INITIALIZED"
+        self.init_frame = None  # reference frame for initialization
+        self.last_frame = None
+        self.last_Tcw = np.eye(4, dtype=np.float32)
+        self.velocity = np.eye(4, dtype=np.float32)
+        self.frame_id = -1
+        self.last_kf_frame_id = -1
+        self.ref_kf = -1
+        self.trajectory = []  # (frame_id, Tcw)
+        self.tracked_inliers = 0
+
+    def _n_kp_total(self):
+        cfg = orb.OrbPyramidConfig(self.cfg.n_features, n_levels=self.cfg.n_levels)
+        return int(sum(cfg.per_level))
+
+    # ------------------------------------------------------------------
+    def _extract(self, gray):
+        f = orb.extract_orb(jnp.asarray(gray, dtype=jnp.float32), self.orb_cfg)
+        return FrameFeatures(
+            xy=np.array(f["xy"]), level=np.array(f["level"]),
+            angle=np.array(f["angle"]), desc=np.array(f["desc"]),
+            valid=np.array(f["valid"]),
+        )
+
+    def track(self, gray):
+        """Process one frame; returns Tcw (4, 4) or None while initializing
+        or lost."""
+        self.frame_id += 1
+        feats = self._extract(gray)
+
+        if self.state == "NOT_INITIALIZED":
+            ok = self._try_initialize(feats)
+            if ok:
+                self.state = "OK"
+                self.trajectory.append((self.frame_id, self.last_Tcw.copy()))
+                return self.last_Tcw.copy()
+            self.trajectory.append((self.frame_id, None))
+            return None
+
+        ok = self._track_frame(feats)
+        if not ok:
+            self.state = "LOST"
+            self.trajectory.append((self.frame_id, None))
+            return None
+        self.state = "OK"
+        self.trajectory.append((self.frame_id, self.last_Tcw.copy()))
+        if self._need_new_keyframe():
+            self._create_keyframe(feats)
+        self.last_frame = feats
+        return self.last_Tcw.copy()
+
+    # ------------------------------------------------------------------
+    # initialization (MonocularInitialization, Tracking.cc:931-1006)
+    # ------------------------------------------------------------------
+    def _try_initialize(self, feats):
+        if self.init_frame is None or feats.valid.sum() < self.cfg.min_init_kps:
+            if feats.valid.sum() >= self.cfg.min_init_kps:
+                self.init_frame = (self.frame_id, feats)
+            return False
+        ref_id, ref = self.init_frame
+        d = matching.hamming_matrix(
+            jnp.asarray(ref.desc), jnp.asarray(feats.desc),
+            jnp.asarray(ref.valid), jnp.asarray(feats.valid),
+        )
+        wm = matching.window_mask(
+            jnp.asarray(ref.xy), jnp.asarray(feats.xy), 100.0
+        )
+        d = jnp.where(wm, d, matching.BIG)
+        m, _ = matching.match_mutual_ratio(
+            d, max_dist=self.cfg.init_max_dist, ratio=self.cfg.init_ratio, mutual=True
+        )
+        m = matching.rotation_consistency(
+            jnp.asarray(ref.angle), jnp.asarray(feats.angle), m
+        )
+        m = np.array(m)
+        matched = m >= 0
+        if matched.sum() < self.cfg.min_init_matches:
+            self.init_frame = (self.frame_id, feats)
+            return False
+
+        p1 = ref.xy
+        p2 = feats.xy[np.clip(m, 0, None)]
+        samples = ini.make_sample_indices(matched, n_ransac=200, seed=self.frame_id)
+        out = ini.initialize_two_view(
+            jnp.asarray(p1, dtype=jnp.float32), jnp.asarray(p2, dtype=jnp.float32),
+            jnp.asarray(matched), jnp.asarray(self.K), jnp.asarray(samples),
+        )
+        if not bool(out["success"]):
+            # keep trying against the same reference for a few frames
+            if self.frame_id - ref_id > 5:
+                self.init_frame = (self.frame_id, feats)
+            return False
+
+        Tcw2 = np.array(out["Tcw2"])
+        good = np.array(out["point_good"]) & matched
+        X = np.array(out["points3d"])
+
+        # scale normalization by median depth (CreateInitialMapMonocular,
+        # Tracking.cc:1098-1126)
+        z = X[good][:, 2]
+        med = np.median(z[z > 0]) if (z > 0).any() else 1.0
+        X = X / med
+        Tcw2[:3, 3] /= med
+
+        # build initial map: two keyframes + points
+        kf0 = self._insert_keyframe_raw(ref, np.eye(4, dtype=np.float32), ref_id)
+        kf1 = self._insert_keyframe_raw(feats, Tcw2, self.frame_id)
+        ids = self.map.alloc_mps(int(good.sum()))
+        sel = np.where(good)[0]
+        self.map.mp_pos[ids] = X[sel]
+        self.map.mp_valid[ids] = True
+        self.map.mp_desc[ids] = feats.desc[m[sel]]
+        self.map.mp_level[ids] = feats.level[m[sel]]
+        self.map.mp_first_kf[ids] = kf1
+        self.map.mp_nobs[ids] = 2
+        self.map.kf_kp_mp[kf0, sel] = ids
+        self.map.kf_kp_mp[kf1, m[sel]] = ids
+        self._refresh_mp_geometry(ids)
+
+        # full BA over the initial two-view map
+        self._local_ba([kf0, kf1], fixed=[kf0])
+        self.last_Tcw = self.map.kf_tcw[kf1].copy()
+        self.velocity = np.eye(4, dtype=np.float32)
+        self.ref_kf = kf1
+        self.last_kf_frame_id = self.frame_id
+        feats.mp = self.map.kf_kp_mp[kf1].copy()
+        self.last_frame = feats
+        return True
+
+    # ------------------------------------------------------------------
+    # per-frame tracking
+    # ------------------------------------------------------------------
+    def _track_frame(self, feats):
+        cfg = self.cfg
+        Tcw_pred = self.velocity @ self.last_Tcw
+
+        # candidates: map points seen in the last frame (TrackWithMotionModel)
+        last_mp = self.last_frame.mp
+        cand_ids = np.unique(last_mp[last_mp >= 0])
+        cand_ids = cand_ids[self.map.mp_valid[cand_ids]]
+        if len(cand_ids) < 10:
+            cand_ids = self.map.mp_ids()
+        M = 1024
+        cand = np.full(M, 0, dtype=np.int64)
+        mvalid = np.zeros(M, dtype=bool)
+        take = min(len(cand_ids), M)
+        cand[:take] = cand_ids[:take]
+        mvalid[:take] = True
+
+        Tcw, mp_to_kp, inlier, n_in = trk.track_pose(
+            jnp.asarray(Tcw_pred), jnp.asarray(self.K),
+            jnp.asarray(self.map.mp_pos[cand]), jnp.asarray(self.map.mp_desc[cand]),
+            jnp.asarray(self.map.mp_level[cand]), jnp.asarray(mvalid),
+            jnp.asarray(feats.xy), jnp.asarray(feats.desc),
+            jnp.asarray(feats.level), jnp.asarray(feats.valid),
+            jnp.float32(cfg.match_radius_motion), jnp.asarray(self.img_wh),
+        )
+        n_in = int(n_in)
+        if n_in < cfg.min_inliers_track:
+            # wider search fallback (reference doubles the window, :1311)
+            Tcw, mp_to_kp, inlier, n_in = trk.track_pose(
+                jnp.asarray(Tcw_pred), jnp.asarray(self.K),
+                jnp.asarray(self.map.mp_pos[cand]), jnp.asarray(self.map.mp_desc[cand]),
+                jnp.asarray(self.map.mp_level[cand]), jnp.asarray(mvalid),
+                jnp.asarray(feats.xy), jnp.asarray(feats.desc),
+                jnp.asarray(feats.level), jnp.asarray(feats.valid),
+                jnp.float32(2 * cfg.match_radius_motion), jnp.asarray(self.img_wh),
+            )
+            n_in = int(n_in)
+            if n_in < cfg.min_inliers_track:
+                return False
+
+        # record associations from motion tracking
+        mp_to_kp = np.array(mp_to_kp)
+        feats.mp = np.full(len(feats.valid), -1, dtype=np.int32)
+        ok = mp_to_kp >= 0
+        feats.mp[mp_to_kp[ok]] = cand[ok]
+
+        # --- TrackLocalMap over the whole map
+        Tcw_np = np.array(Tcw)
+        mp_to_kp2, visible = trk.search_local_points(
+            jnp.asarray(Tcw_np), jnp.asarray(self.K),
+            jnp.asarray(self.map.mp_pos), jnp.asarray(self.map.mp_desc),
+            jnp.asarray(self.map.mp_level), jnp.asarray(self.map.mp_valid),
+            jnp.asarray(self.map.mp_normal), jnp.asarray(self.map.mp_min_dist),
+            jnp.asarray(self.map.mp_max_dist),
+            jnp.asarray(feats.xy), jnp.asarray(feats.desc),
+            jnp.asarray(feats.level), jnp.asarray(feats.valid),
+            jnp.asarray(feats.mp >= 0),
+            jnp.asarray(self.img_wh), jnp.float32(cfg.match_radius_local),
+        )
+        mp_to_kp2 = np.array(mp_to_kp2)
+        ok2 = mp_to_kp2 >= 0
+        feats.mp[mp_to_kp2[ok2]] = np.where(ok2)[0]
+
+        # final pose optimization against all associated points
+        assoc_kp = np.where(feats.mp >= 0)[0]
+        P = 1024
+        pts = np.zeros((P, 3), dtype=np.float32)
+        uv = np.zeros((P, 2), dtype=np.float32)
+        si = np.ones(P, dtype=np.float32)
+        av = np.zeros(P, dtype=bool)
+        take = min(len(assoc_kp), P)
+        kps = assoc_kp[:take]
+        pts[:take] = self.map.mp_pos[feats.mp[kps]]
+        uv[:take] = feats.xy[kps]
+        si[:take] = 1.0 / (trk.SCALE_FACTOR ** feats.level[kps])
+        av[:take] = True
+        Tcw_f, inl_f, n_in2 = ba.pose_optimization(
+            jnp.asarray(Tcw_np), jnp.asarray(self.K), jnp.asarray(pts),
+            jnp.asarray(uv), jnp.asarray(si), jnp.asarray(av),
+        )
+        n_in2 = int(n_in2)
+        if n_in2 < cfg.min_inliers_local:
+            return False
+        inl_f = np.array(inl_f)
+        bad = kps[~inl_f[:take]]
+        feats.mp[bad] = -1
+
+        # stats for culling
+        vis_ids = np.where(np.array(visible))[0]
+        self.map.mp_visible[vis_ids] += 1
+        found_ids = feats.mp[feats.mp >= 0]
+        self.map.mp_found[found_ids] += 1
+
+        Tcw_f = np.array(Tcw_f)
+        self.velocity = Tcw_f @ np_geo.inv_T(self.last_Tcw)
+        self.last_Tcw = Tcw_f
+        self.tracked_inliers = n_in2
+        return True
+
+    # ------------------------------------------------------------------
+    # keyframe policy + local mapping (inline)
+    # ------------------------------------------------------------------
+    def _need_new_keyframe(self):
+        cfg = self.cfg
+        since = self.frame_id - self.last_kf_frame_id
+        if since < 1:
+            return False
+        ref_tracked = int((self.map.kf_kp_mp[self.ref_kf] >= 0).sum()) if self.ref_kf >= 0 else 0
+        need = since >= cfg.new_kf_max_frames or (
+            self.tracked_inliers < cfg.new_kf_ref_ratio * max(ref_tracked, 1)
+            and self.tracked_inliers > 15
+        )
+        return bool(need)
+
+    def _insert_keyframe_raw(self, feats, Tcw, frame_id):
+        k = self.map.alloc_kf()
+        m = self.map
+        m.kf_tcw[k] = Tcw
+        m.kf_valid[k] = True
+        m.kf_frame_id[k] = frame_id
+        n = len(feats.valid)
+        m.kf_kp_xy[k, :n] = feats.xy
+        m.kf_kp_level[k, :n] = feats.level
+        m.kf_kp_angle[k, :n] = feats.angle
+        m.kf_kp_desc[k, :n] = feats.desc
+        m.kf_kp_valid[k, :n] = feats.valid
+        m.kf_kp_mp[k] = -1
+        return k
+
+    def _create_keyframe(self, feats):
+        cfg = self.cfg
+        k = self._insert_keyframe_raw(feats, self.last_Tcw, self.frame_id)
+        self.map.kf_kp_mp[k, : len(feats.mp)] = feats.mp
+        obs = feats.mp >= 0
+        self.map.mp_nobs[feats.mp[obs]] += 1
+        self.ref_kf = k
+        self.last_kf_frame_id = self.frame_id
+
+        # --- local mapping inline (RunMappingIteration)
+        self._cull_map_points(k)
+        self._triangulate_new(k)
+        counts = self.map.covisibility_counts(k)
+        order = np.argsort(-counts)
+        local = [k] + [int(i) for i in order[: cfg.local_ba_kfs - 1] if counts[i] >= 15]
+        kf_all = self.map.kf_ids()
+        fixed = [int(i) for i in kf_all if i not in local]
+        # cap fixed ring size for the BA problem
+        self._local_ba(local, fixed=fixed[: cfg.local_ba_kfs])
+        self._refresh_mp_geometry(self.map.mp_ids())
+
+    def _cull_map_points(self, new_kf):
+        """MapPointCulling (LocalMapping.cc:249-318), simplified: erase map
+        points with poor found/visible ratio or too few observations soon
+        after creation."""
+        m = self.map
+        ratio = m.mp_found / np.maximum(m.mp_visible, 1)
+        recent = (m.mp_first_kf >= 0) & m.mp_valid
+        bad = m.mp_valid & (
+            ((m.mp_visible >= 4) & (ratio < 0.25))
+            | (recent & (m.mp_visible >= 6) & (m.mp_nobs < 2))
+        )
+        if bad.any():
+            m.erase_mp(np.where(bad)[0])
+
+    def _triangulate_new(self, k):
+        cfg = self.cfg
+        m = self.map
+        counts = m.covisibility_counts(k)
+        order = [int(i) for i in np.argsort(-counts) if counts[i] >= 10]
+        neighbors = order[: cfg.triangulate_neighbors]
+        free_k = m.kf_kp_valid[k] & (m.kf_kp_mp[k] < 0)
+        for nb in neighbors:
+            free_nb = m.kf_kp_valid[nb] & (m.kf_kp_mp[nb] < 0)
+            if free_k.sum() < 5 or free_nb.sum() < 5:
+                continue
+            X, m12, ok = trk.triangulate_pair(
+                jnp.asarray(m.kf_tcw[k]), jnp.asarray(m.kf_tcw[nb]), jnp.asarray(self.K),
+                jnp.asarray(m.kf_kp_xy[k]), jnp.asarray(m.kf_kp_desc[k]),
+                jnp.asarray(m.kf_kp_level[k]), jnp.asarray(free_k),
+                jnp.asarray(m.kf_kp_xy[nb]), jnp.asarray(m.kf_kp_desc[nb]),
+                jnp.asarray(m.kf_kp_level[nb]), jnp.asarray(free_nb),
+            )
+            X = np.array(X)
+            m12 = np.array(m12)
+            ok = np.array(ok) & free_k
+            sel = np.where(ok)[0]
+            if len(sel) == 0:
+                continue
+            try:
+                ids = m.alloc_mps(len(sel))
+            except RuntimeError:
+                break
+            m.mp_pos[ids] = X[sel]
+            m.mp_valid[ids] = True
+            m.mp_desc[ids] = m.kf_kp_desc[k, sel]
+            m.mp_level[ids] = m.kf_kp_level[k, sel]
+            m.mp_first_kf[ids] = k
+            m.mp_nobs[ids] = 2
+            m.mp_visible[ids] = 1
+            m.mp_found[ids] = 1
+            m.kf_kp_mp[k, sel] = ids
+            m.kf_kp_mp[nb, m12[sel]] = ids
+            free_k = m.kf_kp_valid[k] & (m.kf_kp_mp[k] < 0)
+        self._refresh_mp_geometry(m.mp_ids())
+
+    def _refresh_mp_geometry(self, ids):
+        """UpdateNormalAndDepth analog: viewing normal from the mean of
+        observing-KF directions; scale-distance bounds from the reference
+        octave (MapPoint.cc:UpdateNormalAndDepth)."""
+        m = self.map
+        if len(ids) == 0:
+            return
+        kf_idx, kp_idx, mp_idx = m.observations_of(ids)
+        if len(kf_idx) == 0:
+            return
+        centers = np.stack([np_geo.inv_T(m.kf_tcw[i])[:3, 3] for i in m.kf_ids()])
+        center_of = {int(i): centers[n] for n, i in enumerate(m.kf_ids())}
+        # accumulate normals
+        acc = np.zeros((m.max_mp, 3))
+        cnt = np.zeros(m.max_mp)
+        for kf, kp, mp in zip(kf_idx, kp_idx, mp_idx):
+            v = m.mp_pos[mp] - center_of[int(kf)]
+            n = np.linalg.norm(v)
+            if n > 1e-9:
+                acc[mp] += v / n
+                cnt[mp] += 1
+        upd = np.where(cnt > 0)[0]
+        m.mp_normal[upd] = acc[upd] / cnt[upd, None]
+        # depth bounds from the first observing keyframe
+        for mp in np.unique(mp_idx):
+            kf = int(m.mp_first_kf[mp]) if m.mp_first_kf[mp] >= 0 else int(kf_idx[mp_idx == mp][0])
+            if not m.kf_valid[kf]:
+                continue
+            dist = np.linalg.norm(m.mp_pos[mp] - center_of.get(kf, np.zeros(3)))
+            lvl = m.mp_level[mp]
+            m.mp_max_dist[mp] = dist * (trk.SCALE_FACTOR ** lvl) * 1.2
+            m.mp_min_dist[mp] = m.mp_max_dist[mp] / (trk.SCALE_FACTOR ** self.cfg.n_levels) / 1.2
+
+    # ------------------------------------------------------------------
+    def _local_ba(self, local_kfs, fixed):
+        cfg = self.cfg
+        m = self.map
+        kfs = list(dict.fromkeys(list(local_kfs) + list(fixed)))
+        kf_map = {int(k): i for i, k in enumerate(kfs)}
+        # points seen by local KFs
+        mp_set = np.unique(
+            np.concatenate([m.kf_kp_mp[k][m.kf_kp_mp[k] >= 0] for k in local_kfs])
+        )
+        mp_set = mp_set[m.mp_valid[mp_set]]
+        if len(mp_set) == 0:
+            return
+        mp_map = {int(p): i for i, p in enumerate(mp_set)}
+
+        kf_idx, kp_idx, mp_idx = m.observations_of(mp_set)
+        keep = np.isin(kf_idx, kfs)
+        kf_idx, kp_idx, mp_idx = kf_idx[keep], kp_idx[keep], mp_idx[keep]
+        E = cfg.max_obs_edges
+        n_e = min(len(kf_idx), E)
+        obs_kf = np.zeros(E, dtype=np.int32)
+        obs_pt = np.zeros(E, dtype=np.int32)
+        obs_uv = np.zeros((E, 2), dtype=np.float32)
+        obs_si = np.ones(E, dtype=np.float32)
+        obs_valid = np.zeros(E, dtype=bool)
+        for n in range(n_e):
+            obs_kf[n] = kf_map[int(kf_idx[n])]
+            obs_pt[n] = mp_map[int(mp_idx[n])]
+            obs_uv[n] = m.kf_kp_xy[kf_idx[n], kp_idx[n]]
+            obs_si[n] = 1.0 / (trk.SCALE_FACTOR ** m.kf_kp_level[kf_idx[n], kp_idx[n]])
+            obs_valid[n] = True
+
+        KF_CAP = 16
+        PT_CAP = 2048
+        nk = min(len(kfs), KF_CAP)
+        npt = min(len(mp_set), PT_CAP)
+        kf_tcw = np.tile(np.eye(4, dtype=np.float32), (KF_CAP, 1, 1))
+        kf_tcw[:nk] = m.kf_tcw[kfs[:nk]]
+        kf_fixed = np.ones(KF_CAP, dtype=bool)
+        for i, k in enumerate(kfs[:nk]):
+            kf_fixed[i] = k in fixed
+        # always anchor at least one camera
+        if not kf_fixed[:nk].any():
+            kf_fixed[0] = True
+        pts = np.zeros((PT_CAP, 3), dtype=np.float32)
+        pts[:npt] = m.mp_pos[mp_set[:npt]]
+        pt_valid = np.zeros(PT_CAP, dtype=bool)
+        pt_valid[:npt] = True
+        obs_valid &= (obs_kf < nk) & (obs_pt < npt)
+
+        out_tcw, out_pts, cost, inl = ba.local_ba_points(
+            jnp.asarray(kf_tcw), jnp.asarray(pts), jnp.asarray(self.K),
+            jnp.asarray(obs_kf), jnp.asarray(obs_pt), jnp.asarray(obs_uv),
+            jnp.asarray(obs_si), jnp.asarray(obs_valid),
+            jnp.asarray(kf_fixed), jnp.asarray(pt_valid),
+            num_iters=cfg.local_ba_iters,
+        )
+        out_tcw = np.array(out_tcw)
+        out_pts = np.array(out_pts)
+        for i, k in enumerate(kfs[:nk]):
+            if not kf_fixed[i]:
+                m.kf_tcw[k] = out_tcw[i]
+        m.mp_pos[mp_set[:npt]] = out_pts[:npt]
+        # drop observations flagged as outliers
+        inl = np.array(inl)
+        for n in range(n_e):
+            if obs_valid[n] and not inl[n]:
+                m.kf_kp_mp[kf_idx[n], kp_idx[n]] = -1
+
+    # ------------------------------------------------------------------
+    def poses(self):
+        """List of (frame_id, Tcw or None) for the whole run."""
+        return self.trajectory

@@ -1,0 +1,211 @@
+"""Tracking-side jitted kernels: projection search, pose tracking,
+epipolar triangulation.
+
+Device-side pieces of Tracking.cc's per-frame pipeline — each kernel is one
+fused XLA program over padded arrays:
+
+* `track_pose` — SearchByProjection (ORBmatcher.cc:1373) + PoseOptimization
+  (Optimizer.cc:253) in one program: project candidate map points, window-
+  match descriptors, robust pose LM, inlier classification.
+* `search_local_points` — frustum/distance/angle culling of the whole map
+  (Tracking::SearchLocalPoints, Tracking.cc:2673) fused with the window
+  match.
+* `triangulate_pair` — SearchForTriangulation's epipolar-constrained
+  matching (ORBmatcher.cc:679) + SVD triangulation + the cheirality/
+  parallax/reprojection/scale acceptance tests (LocalMapping::
+  CreateNewMapPoints, LocalMapping.cc:319-653).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..graph import ba
+from ..ops import matching
+from ..utils import geometry as geo
+
+SCALE_FACTOR = 1.2
+BIG = 10_000
+
+
+def level_sigma2(level):
+    return SCALE_FACTOR ** (2.0 * level.astype(jnp.float32))
+
+
+def _project_batch(Tcw, K, pts):
+    """pts (M, 3) -> (uv (M, 2), z (M,))."""
+    pc = pts @ Tcw[:3, :3].T + Tcw[:3, 3]
+    z = pc[:, 2]
+    zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    uv = (pc @ K.T)[:, :2] / zs[:, None]
+    return uv, z
+
+
+@functools.partial(jax.jit, static_argnames=())
+def track_pose(
+    Tcw_pred, K,
+    mp_pos, mp_desc, mp_level, mp_valid,         # (M, ...) candidate map points
+    kp_xy, kp_desc, kp_level, kp_valid,          # (N, ...) frame keypoints
+    radius, img_wh,
+):
+    """Project candidates with the predicted pose, window-match, optimize.
+
+    Returns (Tcw, mp_to_kp (M,) int32, inlier (M,) bool, n_inlier)."""
+    uv, z = _project_batch(Tcw_pred, K, mp_pos)
+    in_img = (
+        (z > 0)
+        & (uv[:, 0] >= 0) & (uv[:, 0] < img_wh[0])
+        & (uv[:, 1] >= 0) & (uv[:, 1] < img_wh[1])
+    )
+    cand = mp_valid & in_img
+
+    # window radius scales with the map point's reference octave
+    # (SearchByProjection: th * scaleFactor^level)
+    r = radius * SCALE_FACTOR ** mp_level.astype(jnp.float32)
+    d = matching.hamming_matrix(mp_desc, kp_desc, cand, kp_valid)
+    wm = matching.window_mask(uv, kp_xy, r, mp_level, kp_level, level_slack=1)
+    d = jnp.where(wm, d, matching.BIG)
+    mp_to_kp, dist = matching.match_mutual_ratio(
+        d, max_dist=matching.TH_HIGH, ratio=0.9, mutual=False
+    )
+    matched = mp_to_kp >= 0
+
+    kp_sel = jnp.clip(mp_to_kp, 0, None)
+    uv_meas = kp_xy[kp_sel]
+    sig = jnp.sqrt(level_sigma2(kp_level[kp_sel]))
+    sqrt_info = 1.0 / sig
+    Tcw, inlier, n_in = ba.pose_optimization(
+        Tcw_pred, K, mp_pos, uv_meas, sqrt_info, matched,
+    )
+    return Tcw, jnp.where(inlier, mp_to_kp, -1), inlier, n_in
+
+
+@functools.partial(jax.jit, static_argnames=())
+def search_local_points(
+    Tcw, K,
+    mp_pos, mp_desc, mp_level, mp_valid, mp_normal, mp_min_dist, mp_max_dist,
+    kp_xy, kp_desc, kp_level, kp_valid, kp_taken,
+    img_wh, radius,
+):
+    """Frustum-culled whole-map projection search (SearchLocalPoints +
+    SearchByProjection frame variant). kp_taken marks keypoints already
+    matched by track_pose. Returns (mp_to_kp (M,), visible (M,))."""
+    uv, z = _project_batch(Tcw, K, mp_pos)
+    Twc_t = -(Tcw[:3, :3].T @ Tcw[:3, 3])
+    view = mp_pos - Twc_t
+    dist = jnp.linalg.norm(view, axis=1)
+    viewcos = jnp.sum(view * mp_normal, axis=1) / jnp.where(dist > 1e-9, dist, 1.0)
+    visible = (
+        mp_valid
+        & (z > 0)
+        & (uv[:, 0] >= 0) & (uv[:, 0] < img_wh[0])
+        & (uv[:, 1] >= 0) & (uv[:, 1] < img_wh[1])
+        & (dist >= 0.8 * mp_min_dist) & (dist <= 1.2 * mp_max_dist)
+        & (viewcos > 0.5)  # 60 deg (Frame::isInFrustum)
+    )
+    d = matching.hamming_matrix(mp_desc, kp_desc, visible, kp_valid & (~kp_taken))
+    r = radius * SCALE_FACTOR ** mp_level.astype(jnp.float32)
+    wm = matching.window_mask(uv, kp_xy, r, mp_level, kp_level, level_slack=1)
+    d = jnp.where(wm, d, matching.BIG)
+    mp_to_kp, _ = matching.match_mutual_ratio(
+        d, max_dist=matching.TH_HIGH, ratio=0.8, mutual=True
+    )
+    return mp_to_kp, visible
+
+
+@functools.partial(jax.jit, static_argnames=())
+def triangulate_pair(
+    Tcw1, Tcw2, K,
+    kp1_xy, kp1_desc, kp1_level, kp1_free,
+    kp2_xy, kp2_desc, kp2_level, kp2_free,
+):
+    """Epipolar-constrained matching + triangulation between two keyframes.
+
+    Returns (pts3d (N1, 3) in world, kp2_idx (N1,), ok (N1,))."""
+    # fundamental matrix from relative pose (LocalMapping::ComputeF12)
+    T12 = Tcw1 @ geo.inv_T(Tcw2)
+    R12 = T12[:3, :3]
+    t12 = T12[:3, 3]
+    E = geo.hat(t12) @ R12
+    Kinv = jnp.linalg.inv(K)
+    F12 = Kinv.T @ E @ Kinv  # x1^T F12 x2 = 0
+
+    d = matching.hamming_matrix(kp1_desc, kp2_desc, kp1_free, kp2_free)
+    # epipolar distance of kp2 to the line of kp1
+    ph1 = jnp.concatenate([kp1_xy, jnp.ones((kp1_xy.shape[0], 1))], axis=1)
+    ph2 = jnp.concatenate([kp2_xy, jnp.ones((kp2_xy.shape[0], 1))], axis=1)
+    lines2 = ph1 @ F12  # (N1, 3) lines in image 2
+    num = jnp.abs(lines2 @ ph2.T)  # (N1, N2)
+    den = jnp.sqrt(lines2[:, 0:1] ** 2 + lines2[:, 1:2] ** 2)
+    ep_dist2 = (num / jnp.where(den > 1e-9, den, 1e-9)) ** 2
+    sig2 = level_sigma2(kp2_level)[None, :]
+    ok_ep = ep_dist2 < 3.84 * sig2
+    d = jnp.where(ok_ep, d, matching.BIG)
+    m12, _ = matching.match_mutual_ratio(d, max_dist=matching.TH_LOW, ratio=1.0, mutual=True)
+    matched = m12 >= 0
+
+    kp2_sel = jnp.clip(m12, 0, None)
+    p2 = kp2_xy[kp2_sel]
+    P1 = K @ Tcw1[:3, :]
+    P2 = K @ Tcw2[:3, :]
+    from .initializer import triangulate
+
+    X = triangulate(P1, P2, kp1_xy, p2)  # (N1, 3) world
+
+    # acceptance checks (CreateNewMapPoints, LocalMapping.cc:430-640)
+    def depth_of(Tcw, X):
+        return (X @ Tcw[:3, :3].T + Tcw[:3, 3])[:, 2]
+
+    z1 = depth_of(Tcw1, X)
+    z2 = depth_of(Tcw2, X)
+    o1 = -(Tcw1[:3, :3].T @ Tcw1[:3, 3])
+    o2 = -(Tcw2[:3, :3].T @ Tcw2[:3, 3])
+    v1 = X - o1
+    v2 = X - o2
+    n1 = jnp.linalg.norm(v1, axis=1)
+    n2 = jnp.linalg.norm(v2, axis=1)
+    cos_par = jnp.sum(v1 * v2, axis=1) / jnp.where(n1 * n2 > 1e-12, n1 * n2, 1e-12)
+
+    uv1, _ = _project_batch(Tcw1, K, X)
+    uv2, _ = _project_batch(Tcw2, K, X)
+    e1 = jnp.sum((uv1 - kp1_xy) ** 2, axis=1)
+    e2 = jnp.sum((uv2 - p2) ** 2, axis=1)
+    s1 = level_sigma2(kp1_level)
+    s2 = level_sigma2(kp2_level[kp2_sel])
+
+    ok = (
+        matched
+        & (z1 > 0) & (z2 > 0)
+        & (cos_par < 0.9998)
+        & (e1 < 5.991 * s1) & (e2 < 5.991 * s2)
+        & jnp.isfinite(X).all(axis=1)
+    )
+    return X, m12, ok
+
+
+def evaluate_ate_scaled(est_Twc, truth_Twc):
+    """Mono ATE with Sim3 (Umeyama) alignment — scale is unobservable in
+    pure monocular SLAM."""
+    x = est_Twc[:, :3, 3]
+    y = truth_Twc[:, :3, 3]
+    mx = x.mean(axis=0)
+    my = y.mean(axis=0)
+    xc = x - mx
+    yc = y - my
+    cov = yc.T @ xc / len(x)
+    U, D, Vt = np.linalg.svd(cov)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[2, 2] = -1
+    R = U @ S @ Vt
+    var_x = (xc * xc).sum() / len(x)
+    s = np.trace(np.diag(D) @ S) / var_x if var_x > 0 else 1.0
+    t = my - s * R @ mx
+    aligned = (s * (R @ x.T)).T + t
+    d = aligned - y
+    return float(np.sqrt((d * d).sum(axis=1).mean()))
