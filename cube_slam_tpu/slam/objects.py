@@ -1,0 +1,234 @@
+"""Cuboid object landmarks inside the SLAM map.
+
+Re-design of the object machinery threaded through Tracking.cc:
+
+* DetectCuboid (Tracking.cc:1545-1846): per new keyframe run the fused
+  TPU detector on the frame's 2D boxes + line segments; keep the best
+  proposal per box as a camera-frame measurement with a quality weight,
+* keypoint->object ownership (Tracking.cc:1716-1845): keypoints inside a
+  (non-overlapping) detection box vote for the object; a detection becomes
+  a candidate landmark once it owns enough points,
+* AssociateCuboids (Tracking.cc:1848-2028): candidate vs existing landmark
+  association by shared-map-point voting; unmatched candidates found in
+  enough keyframes become new landmarks; landmarks merge new measurements,
+* object edges for the BA (graph/object_ba.py): camera-object bbox edges
+  per detection, point-object hinge edges from owned map points.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..utils import np_geometry as np_geo
+
+
+@dataclass
+class Detection:
+    """One per-keyframe cuboid measurement (MapObject's cube_meas analog)."""
+
+    kf_id: int
+    local_pose: np.ndarray   # (4, 4) cuboid in camera frame
+    scale: np.ndarray        # (3,)
+    bbox: np.ndarray         # (4,) [cx cy w h] detected 2D box
+    quality: float
+    owned_kps: np.ndarray    # keypoint indices inside the box
+    landmark: int = -1       # associated object id
+
+
+@dataclass
+class ObjectStore:
+    max_obj: int = 16
+
+    def __post_init__(self):
+        O = self.max_obj
+        self.pose = np.tile(np.eye(4, dtype=np.float32), (O, 1, 1))
+        self.scale = np.ones((O, 3), dtype=np.float32)
+        self.valid = np.zeros(O, dtype=bool)
+        self.n_obs = np.zeros(O, dtype=np.int32)
+        self.quality = np.zeros(O, dtype=np.float32)
+        self.fix_scale = np.zeros(O, dtype=bool)
+
+    def alloc(self):
+        free = np.where(~self.valid)[0]
+        if len(free) == 0:
+            return -1
+        return int(free[0])
+
+
+class ObjectManager:
+    """Host-side object lifecycle; device work stays in the detector and
+    the object BA."""
+
+    def __init__(self, detector, store: ObjectStore | None = None,
+                 min_owned_points=20, min_shared_votes=8, bbox_overlap_max=0.15,
+                 min_obs_to_promote=2):
+        self.detector = detector
+        self.store = store or ObjectStore()
+        self.detections: list[Detection] = []
+        self.min_owned_points = min_owned_points
+        self.min_shared_votes = min_shared_votes
+        self.bbox_overlap_max = bbox_overlap_max
+        self.min_obs_to_promote = min_obs_to_promote
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _iou(a, b):
+        ax1, ay1, ax2, ay2 = a[0], a[1], a[0] + a[2], a[1] + a[3]
+        bx1, by1, bx2, by2 = b[0], b[1], b[0] + b[2], b[1] + b[3]
+        ix = max(0.0, min(ax2, bx2) - max(ax1, bx1))
+        iy = max(0.0, min(ay2, by2) - max(ay1, by1))
+        inter = ix * iy
+        union = a[2] * a[3] + b[2] * b[3] - inter
+        return inter / union if union > 0 else 0.0
+
+    def detect_on_keyframe(self, map_state, kf_id, gray, bboxes_2d, lines, Twc):
+        """Run the cuboid detector for a keyframe and record camera-frame
+        measurements + keypoint ownership. bboxes_2d: (B, >=4) [x y w h]."""
+        if bboxes_2d is None or len(bboxes_2d) == 0:
+            return []
+        # drop heavily-overlapping boxes (Tracking.cc:1716-1781 keeps
+        # ownership unambiguous)
+        keep = []
+        for i in range(len(bboxes_2d)):
+            if all(self._iou(bboxes_2d[i], bboxes_2d[j]) <= self.bbox_overlap_max
+                   for j in keep):
+                keep.append(i)
+        boxes = np.asarray(bboxes_2d)[keep]
+
+        props = self.detector.detect_cuboid(gray, Twc, boxes[:, :4], lines)
+        Tcw = np_geo.inv_T(np.asarray(Twc, dtype=np.float64))
+        out = []
+        kp_xy = map_state.kf_kp_xy[kf_id]
+        kp_ok = map_state.kf_kp_valid[kf_id]
+        for b, plist in enumerate(props):
+            if not plist:
+                continue
+            p = plist[0]
+            pose_w, scale = np_geo.minimal9_to_pose_scale(
+                [p.pos[0], p.pos[1], p.pos[2], 0.0, 0.0, p.rotY,
+                 p.scale[0], p.scale[1], p.scale[2]]
+            )
+            local_pose = (Tcw @ pose_w).astype(np.float32)
+            x, y, w, h = boxes[b, :4]
+            inside = (
+                kp_ok
+                & (kp_xy[:, 0] >= x) & (kp_xy[:, 0] <= x + w)
+                & (kp_xy[:, 1] >= y) & (kp_xy[:, 1] <= y + h)
+            )
+            quality = max(0.1, min(1.0, (1.0 - p.normalized_error + 0.5) / 2.0))
+            det = Detection(
+                kf_id=kf_id, local_pose=local_pose,
+                scale=scale.astype(np.float32),
+                bbox=np.array([x + w / 2.0, y + h / 2.0, w, h], dtype=np.float32),
+                quality=float(quality), owned_kps=np.where(inside)[0],
+            )
+            self.detections.append(det)
+            out.append(det)
+        return out
+
+    # ------------------------------------------------------------------
+    def associate(self, map_state, kf_id, dets):
+        """Shared-map-point voting association (Tracking.cc:1848-2028)."""
+        m = map_state
+        st = self.store
+        for det in dets:
+            owned_mps = m.kf_kp_mp[det.kf_id, det.owned_kps]
+            owned_mps = owned_mps[owned_mps >= 0]
+            if len(det.owned_kps) < self.min_owned_points:
+                continue
+            # votes: landmark owning the most of this detection's points
+            votes = np.zeros(st.max_obj, dtype=np.int32)
+            if len(owned_mps):
+                objs = m.mp_best_obj[owned_mps]
+                for o in objs[objs >= 0]:
+                    votes[o] += 1
+            best = int(np.argmax(votes)) if votes.max() > 0 else -1
+            if best >= 0 and votes[best] >= self.min_shared_votes and st.valid[best]:
+                det.landmark = best
+                st.n_obs[best] += 1
+                st.quality[best] = max(st.quality[best], det.quality)
+            else:
+                # unmatched: look for an unassociated previous detection of
+                # the same region (promote after min_obs_to_promote sightings)
+                prev = [d for d in self.detections
+                        if d.landmark == -2 and d.kf_id != det.kf_id]
+                det.landmark = -2  # provisional
+                n_seen = 1 + sum(
+                    1 for d in prev
+                    if self._pose_close(d, det, m)
+                )
+                if n_seen >= self.min_obs_to_promote:
+                    o = st.alloc()
+                    if o < 0:
+                        continue
+                    Twc = np_geo.inv_T(m.kf_tcw[det.kf_id].astype(np.float64))
+                    st.pose[o] = (Twc @ det.local_pose).astype(np.float32)
+                    st.scale[o] = det.scale
+                    st.valid[o] = True
+                    st.n_obs[o] = n_seen
+                    st.quality[o] = det.quality
+                    det.landmark = o
+                    for d in prev:
+                        if self._pose_close(d, det, m):
+                            d.landmark = o
+            # point ownership votes
+            if det.landmark >= 0 and len(owned_mps):
+                m.mp_best_obj[owned_mps] = det.landmark
+
+    def _pose_close(self, d1, d2, map_state, max_dist=1.5):
+        m = map_state
+        w1 = np_geo.inv_T(m.kf_tcw[d1.kf_id].astype(np.float64)) @ d1.local_pose
+        w2 = np_geo.inv_T(m.kf_tcw[d2.kf_id].astype(np.float64)) @ d2.local_pose
+        return np.linalg.norm(w1[:3, 3] - w2[:3, 3]) < max_dist
+
+    # ------------------------------------------------------------------
+    def ba_edges(self, map_state, kf_map, max_box_edges=64, max_po_edges=512,
+                 camera_object_weight=1.0):
+        """Assemble bbox + point-object edge arrays for local_ba_objects.
+
+        kf_map: dict global kf id -> local BA camera index."""
+        m = map_state
+        st = self.store
+        box_kf = np.zeros(max_box_edges, dtype=np.int32)
+        box_obj = np.zeros(max_box_edges, dtype=np.int32)
+        box_meas = np.zeros((max_box_edges, 4), dtype=np.float32)
+        box_si = np.ones(max_box_edges, dtype=np.float32)
+        box_valid = np.zeros(max_box_edges, dtype=bool)
+        n = 0
+        for det in self.detections:
+            if det.landmark < 0 or det.kf_id not in kf_map or n >= max_box_edges:
+                continue
+            box_kf[n] = kf_map[det.kf_id]
+            box_obj[n] = det.landmark
+            box_meas[n] = det.bbox
+            # info ~ weight * quality^2 -> sqrt-info ~ sqrt(w) * quality
+            box_si[n] = np.sqrt(camera_object_weight) * det.quality
+            box_valid[n] = True
+            n += 1
+
+        po_obj = np.zeros(max_po_edges, dtype=np.int32)
+        po_pt = np.zeros(max_po_edges, dtype=np.int32)
+        po_si = np.ones(max_po_edges, dtype=np.float32)
+        po_valid = np.zeros(max_po_edges, dtype=bool)
+        q = 0
+        owned = np.where(m.mp_valid & (m.mp_best_obj >= 0))[0]
+        for mp in owned[:max_po_edges]:
+            po_obj[q] = m.mp_best_obj[mp]
+            po_pt[q] = mp
+            po_si[q] = 1.0
+            po_valid[q] = bool(st.valid[po_obj[q]])
+            q += 1
+        return (box_kf, box_obj, box_meas, box_si, box_valid,
+                po_obj, po_pt, po_si, po_valid)
+
+    def cull(self, map_state):
+        """Remove landmarks with too few observations after a while
+        (Tracking.cc:1986-2027, simplified)."""
+        st = self.store
+        for o in np.where(st.valid)[0]:
+            dets = [d for d in self.detections if d.landmark == o]
+            if len(dets) >= 3 and st.n_obs[o] < 2:
+                st.valid[o] = False
+                map_state.mp_best_obj[map_state.mp_best_obj == o] = -1

@@ -508,3 +508,151 @@ class MonocularTracker:
     def poses(self):
         """List of (frame_id, Tcw or None) for the whole run."""
         return self.trajectory
+
+
+class ObjectSlamTracker(MonocularTracker):
+    """Monocular tracker with cuboid object landmarks — the orb_object_slam
+    configuration (static objects): per new keyframe, run the TPU cuboid
+    detector (Tracking::DetectCuboid), associate detections to landmarks by
+    shared-point voting (Tracking::AssociateCuboids), and solve the joint
+    camera-point-object local BA (Optimizer::LocalBACameraPointObjects)."""
+
+    def __init__(self, K, img_wh, config=None, detector=None, ground_Twc0=None,
+                 camera_object_weight=1.0):
+        super().__init__(K, img_wh, config)
+        from ..models.detector import CuboidDetector
+        from .objects import ObjectManager
+
+        if detector is None:
+            detector = CuboidDetector()
+            detector.set_calibration(K)
+        self.objects = ObjectManager(detector)
+        # SLAM world frame = first camera; detection needs a ground-aligned
+        # frame (z-up, ground at z=0). ground_Twc0 supplies the first
+        # camera's pose in the ground frame (the reference's InitToGround,
+        # Tracking.cc:110-143).
+        self.ground_align = None
+        if ground_Twc0 is not None:
+            self.ground_align = np.asarray(ground_Twc0, dtype=np.float64)
+        self.camera_object_weight = camera_object_weight
+        self._pending_obs = None  # (gray, bboxes, lines) for the next KF
+
+    def track(self, gray, bboxes_2d=None, lines=None):
+        self._pending_obs = (gray, bboxes_2d, lines)
+        return super().track(gray)
+
+    def _create_keyframe(self, feats):
+        super()._create_keyframe(feats)
+        k = self.ref_kf
+        gray, bboxes_2d, lines = self._pending_obs or (None, None, None)
+        if bboxes_2d is None or lines is None or len(bboxes_2d) == 0:
+            return
+        # camera pose in the ground frame for detection
+        Twc_slam = np_geo.inv_T(self.map.kf_tcw[k].astype(np.float64))
+        if self.ground_align is not None:
+            # world->ground alignment via the first camera
+            Twc_ground = self.ground_align @ Twc_slam
+        else:
+            Twc_ground = Twc_slam
+        dets = self.objects.detect_on_keyframe(
+            self.map, k, gray, bboxes_2d, lines, Twc_ground
+        )
+        # measurements are stored in the camera frame -> keep them in the
+        # SLAM world by re-lifting with the SLAM pose during association
+        self.objects.associate(self.map, k, dets)
+        self.objects.cull(self.map)
+        self._object_ba(k)
+
+    def _object_ba(self, k):
+        """Joint local BA with objects (replaces the plain point BA result
+        for the local window)."""
+        from ..graph.object_ba import local_ba_objects
+        import jax.numpy as jnp
+
+        cfg = self.cfg
+        m = self.map
+        st = self.objects.store
+        if not st.valid.any():
+            return
+        counts = m.covisibility_counts(k)
+        order = np.argsort(-counts)
+        local = [k] + [int(i) for i in order[: cfg.local_ba_kfs - 1] if counts[i] >= 15]
+        kf_map = {int(kf): i for i, kf in enumerate(local)}
+
+        mp_set = np.unique(
+            np.concatenate([m.kf_kp_mp[kf][m.kf_kp_mp[kf] >= 0] for kf in local])
+        )
+        mp_set = mp_set[m.mp_valid[mp_set]]
+        if len(mp_set) == 0:
+            return
+        mp_map = {int(p): i for i, p in enumerate(mp_set)}
+
+        kf_idx, kp_idx, mp_idx = m.observations_of(mp_set)
+        keep = np.isin(kf_idx, local)
+        kf_idx, kp_idx, mp_idx = kf_idx[keep], kp_idx[keep], mp_idx[keep]
+        E = cfg.max_obs_edges
+        n_e = min(len(kf_idx), E)
+        obs_kf = np.zeros(E, dtype=np.int32)
+        obs_pt = np.zeros(E, dtype=np.int32)
+        obs_uv = np.zeros((E, 2), dtype=np.float32)
+        obs_si = np.ones(E, dtype=np.float32)
+        obs_valid = np.zeros(E, dtype=bool)
+        for n in range(n_e):
+            obs_kf[n] = kf_map[int(kf_idx[n])]
+            obs_pt[n] = mp_map[int(mp_idx[n])]
+            obs_uv[n] = m.kf_kp_xy[kf_idx[n], kp_idx[n]]
+            obs_si[n] = 1.0 / (trk.SCALE_FACTOR ** m.kf_kp_level[kf_idx[n], kp_idx[n]])
+            obs_valid[n] = True
+
+        (box_kf, box_obj, box_meas, box_si, box_valid,
+         po_obj, po_pt_g, po_si, po_valid) = self.objects.ba_edges(
+            m, kf_map, camera_object_weight=self.camera_object_weight
+        )
+        # remap point-object edges into local point indices
+        po_pt = np.zeros_like(po_pt_g)
+        for q in range(len(po_pt_g)):
+            if po_valid[q] and int(po_pt_g[q]) in mp_map:
+                po_pt[q] = mp_map[int(po_pt_g[q])]
+            else:
+                po_valid[q] = False
+
+        KF_CAP, PT_CAP = 16, 2048
+        nk = min(len(local), KF_CAP)
+        npt = min(len(mp_set), PT_CAP)
+        kf_tcw = np.tile(np.eye(4, dtype=np.float32), (KF_CAP, 1, 1))
+        kf_tcw[:nk] = m.kf_tcw[local[:nk]]
+        kf_fixed = np.ones(KF_CAP, dtype=bool)
+        all_kf = set(int(x) for x in m.kf_ids())
+        oldest = min(all_kf) if all_kf else 0
+        for i, kf in enumerate(local[:nk]):
+            kf_fixed[i] = kf == oldest
+        if not kf_fixed[:nk].any():
+            kf_fixed[0] = True
+        pts = np.zeros((PT_CAP, 3), dtype=np.float32)
+        pts[:npt] = m.mp_pos[mp_set[:npt]]
+        pt_valid = np.zeros(PT_CAP, dtype=bool)
+        pt_valid[:npt] = True
+        obs_valid &= (obs_kf < nk) & (obs_pt < npt)
+        box_valid &= box_kf < nk
+        po_valid &= po_pt < npt
+
+        out = local_ba_objects(
+            jnp.asarray(kf_tcw), jnp.asarray(pts),
+            jnp.asarray(st.pose), jnp.asarray(st.scale), jnp.asarray(self.K),
+            jnp.asarray(obs_kf), jnp.asarray(obs_pt), jnp.asarray(obs_uv),
+            jnp.asarray(obs_si), jnp.asarray(obs_valid),
+            jnp.asarray(box_kf), jnp.asarray(box_obj), jnp.asarray(box_meas),
+            jnp.asarray(box_si), jnp.asarray(box_valid),
+            jnp.asarray(po_obj), jnp.asarray(po_pt), jnp.asarray(po_si),
+            jnp.asarray(po_valid),
+            jnp.asarray(kf_fixed), jnp.asarray(pt_valid),
+            jnp.asarray(st.valid), jnp.asarray(st.fix_scale),
+            num_iters=cfg.local_ba_iters,
+        )
+        kf_out, pts_out, op_out, os_out = (np.array(x) for x in out[:4])
+        for i, kf in enumerate(local[:nk]):
+            if not kf_fixed[i]:
+                m.kf_tcw[kf] = kf_out[i]
+        m.mp_pos[mp_set[:npt]] = pts_out[:npt]
+        self.objects.store.pose[:] = op_out
+        self.objects.store.scale[:] = os_out

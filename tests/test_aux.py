@@ -1,0 +1,110 @@
+"""Config, serialization, ground-scale, profiler tests."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from cube_slam_tpu.config import SlamConfig, kitti_config
+from cube_slam_tpu.ops import ransac
+from cube_slam_tpu.slam.ground import GroundConfig, GroundScaleEstimator
+from cube_slam_tpu.slam.objects import ObjectStore
+from cube_slam_tpu.slam.state import MapState
+from cube_slam_tpu.utils import np_geometry as np_geo
+from cube_slam_tpu.utils import profiler, serialization
+
+
+def test_config_overrides():
+    cfg = SlamConfig.from_overrides(**{"camera.fx": 700.0, "orb.n_features": 2000})
+    assert cfg.camera.fx == 700.0
+    assert cfg.orb.n_features == 2000
+    assert kitti_config().objects.whether_detect_object
+    K = cfg.camera.K
+    assert K[0, 0] == 700.0
+
+
+def test_plane_ransac_with_outliers():
+    rng = np.random.default_rng(0)
+    n = 200
+    pts = np.zeros((n, 3), dtype=np.float32)
+    # plane z = 0.5 + noise; 30% outliers
+    pts[:, 0] = rng.uniform(-5, 5, n)
+    pts[:, 1] = rng.uniform(-5, 5, n)
+    pts[:, 2] = 0.5 + 0.01 * rng.normal(size=n)
+    out_idx = rng.choice(n, 60, replace=False)
+    pts[out_idx, 2] = rng.uniform(-3, 3, 60)
+    valid = np.ones(n, dtype=bool)
+    samples = ransac.make_triplet_indices(valid, n_hyp=256, seed=1)
+    plane, inlier, n_in = ransac.fit_plane_ransac(
+        jnp.asarray(pts), jnp.asarray(valid), jnp.asarray(samples), jnp.float32(0.05)
+    )
+    plane = np.array(plane)
+    assert int(n_in) > 120
+    n_vec = plane[:3] / np.linalg.norm(plane[:3])
+    assert abs(abs(n_vec[2]) - 1.0) < 0.01
+    # plane offset: n.p + d = 0 at z=0.5
+    assert abs(abs(plane[3]) - 0.5) < 0.05
+
+
+def test_ground_scale_apply():
+    m = MapState(max_kf=4, max_mp=64, n_kp=8)
+    m.kf_valid[:2] = True
+    m.kf_tcw[0] = np.eye(4, dtype=np.float32)
+    Twc1 = np.eye(4)
+    Twc1[:3, 3] = [1.0, 0.0, 0.0]
+    m.kf_tcw[1] = np_geo.inv_T(Twc1).astype(np.float32)
+    m.mp_valid[:3] = True
+    m.mp_pos[:3] = np.array([[2.0, 0, 0], [0, 2.0, 0], [0, 0, 2.0]], dtype=np.float32)
+    GroundScaleEstimator.apply_scale(m, 0, 2.0)
+    # anchor (KF0 at origin) fixed; everything else doubles
+    np.testing.assert_allclose(m.mp_pos[0], [4.0, 0, 0], atol=1e-5)
+    np.testing.assert_allclose(np_geo.inv_T(m.kf_tcw[1])[:3, 3], [2.0, 0, 0], atol=1e-5)
+    np.testing.assert_allclose(np_geo.inv_T(m.kf_tcw[0])[:3, 3], [0, 0, 0], atol=1e-6)
+
+
+def test_trajectory_writers(tmp_path):
+    Tcw = np.eye(4)
+    Tcw[:3, 3] = [0.0, 0.0, -1.0]
+    p_tum = tmp_path / "traj_tum.txt"
+    p_kitti = tmp_path / "traj_kitti.txt"
+    serialization.save_trajectory_tum(p_tum, [1.5], [Tcw])
+    serialization.save_trajectory_kitti(p_kitti, [Tcw])
+    row = open(p_tum).read().split()
+    assert len(row) == 8
+    np.testing.assert_allclose([float(x) for x in row[1:4]], [0, 0, 1.0], atol=1e-6)
+    row = open(p_kitti).read().split()
+    assert len(row) == 12
+    np.testing.assert_allclose(float(row[3]), 0.0, atol=1e-9)
+    np.testing.assert_allclose(float(row[11]), 1.0, atol=1e-9)
+
+
+def test_map_checkpoint_roundtrip(tmp_path):
+    m = MapState(max_kf=4, max_mp=32, n_kp=8)
+    m.kf_valid[1] = True
+    m.kf_tcw[1, 0, 3] = 3.0
+    m.mp_valid[5] = True
+    m.mp_pos[5] = [1, 2, 3]
+    store = ObjectStore(max_obj=4)
+    store.valid[2] = True
+    store.scale[2] = [0.5, 0.6, 0.7]
+    path = tmp_path / "map.npz"
+    serialization.save_map(path, m, store)
+    m2, store2 = serialization.load_map(path)
+    assert m2.kf_valid[1] and not m2.kf_valid[0]
+    np.testing.assert_allclose(m2.mp_pos[5], [1, 2, 3])
+    np.testing.assert_allclose(m2.kf_tcw[1, 0, 3], 3.0)
+    assert store2.valid[2]
+    np.testing.assert_allclose(store2.scale[2], [0.5, 0.6, 0.7])
+
+
+def test_profiler_aggregation():
+    profiler.reset()
+    profiler.enable()
+    with profiler.span("work"):
+        x = sum(range(1000))
+    profiler.tictoc("paired")
+    profiler.tictoc("paired")
+    agg = profiler.aggregated()
+    assert "work" in agg and "paired" in agg
+    assert agg["work"][4] == 1
+    profiler.disable()
