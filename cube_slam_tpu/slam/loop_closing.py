@@ -1,0 +1,267 @@
+"""Loop closing: place recognition, Sim3 verification, pose-graph correction.
+
+Re-design of LoopClosing + KeyFrameDatabase (orb_object_slam/src/
+LoopClosing.cc, KeyFrameDatabase.cc) without DBoW2:
+
+* place recognition — instead of an inverted file over vocabulary words,
+  each keyframe gets a GLOBAL BINARY-STATISTIC SIGNATURE (the mean of its
+  ORB descriptor bits, a 256-d float vector); querying the database is one
+  matvec against all signatures (the TPU-native analog of quantize-and-
+  score, SURVEY 2.6). Candidate gating mirrors DetectLoopCandidates:
+  covisible keyframes are excluded and candidates must beat the worst
+  covisible similarity (KeyFrameDatabase.cc:74-194).
+* geometric verification — brute-force descriptor matching between the two
+  keyframes' map points + batched Sim3 RANSAC (slam/sim3.py) standing in
+  for SearchByBoW + Sim3Solver (LoopClosing.cc:231-400).
+* correction — a 7-DoF Sim3 pose graph over the essential graph
+  (sequential + covisibility + loop edges), solved with the dense LM
+  (OptimizeEssentialGraph, Optimizer.cc:2575), then map points re-anchored
+  through their reference keyframe's correction (CorrectLoop,
+  LoopClosing.cc:401-580).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.lm import lm_optimize
+from ..ops import matching
+from ..utils import geometry as geo
+from ..utils import np_geometry as np_geo
+from . import sim3 as sim3_mod
+
+
+def keyframe_signature(desc, valid):
+    """(N, 8) uint32 descriptors -> (256,) float bit-frequency signature."""
+    bits = ((desc[:, :, None] >> np.arange(32, dtype=np.uint32)[None, None, :]) & 1)
+    bits = bits.reshape(desc.shape[0], 256).astype(np.float32)
+    w = valid.astype(np.float32)
+    n = max(w.sum(), 1.0)
+    return (bits * w[:, None]).sum(axis=0) / n
+
+
+def signature_similarity(query, db):
+    """Cosine similarity of a query signature against a stack (K, 256)."""
+    qn = query / max(np.linalg.norm(query), 1e-9)
+    dn = db / np.maximum(np.linalg.norm(db, axis=1, keepdims=True), 1e-9)
+    return dn @ qn
+
+
+class LoopDetector:
+    """KeyFrameDatabase analog over signatures."""
+
+    def __init__(self, min_gap_kfs=10, margin=1.02):
+        self.signatures = {}
+        self.min_gap_kfs = min_gap_kfs
+        self.margin = margin
+
+    def add(self, kf_id, desc, valid):
+        self.signatures[int(kf_id)] = keyframe_signature(desc, valid)
+
+    def detect(self, kf_id, covisible_ids):
+        """Returns candidate kf ids sorted by similarity (best first)."""
+        if kf_id not in self.signatures:
+            return []
+        ids = sorted(self.signatures)
+        others = [i for i in ids if i != kf_id]
+        if not others:
+            return []
+        db = np.stack([self.signatures[i] for i in others])
+        sims = signature_similarity(self.signatures[kf_id], db)
+        cov = set(int(c) for c in covisible_ids)
+        # reference: candidates must beat the minimum covisible score
+        cov_sims = [s for i, s in zip(others, sims) if i in cov]
+        floor = min(cov_sims) if cov_sims else 0.0
+        cands = [
+            (s, i) for i, s in zip(others, sims)
+            if i not in cov and abs(kf_id - i) >= self.min_gap_kfs
+            and s > floor * self.margin
+        ]
+        cands.sort(reverse=True)
+        return [i for _, i in cands]
+
+
+def verify_loop_sim3(map_state, kf_a, kf_b, fix_scale=False, min_inliers=20, seed=0):
+    """Geometric verification: match descriptors of the two KFs' map points,
+    Sim3-RANSAC their 3D positions. Returns (s, R, t, n_inliers) aligning
+    kf_a's world points onto kf_b's (here both in one world — a drifted map
+    yields the correction) or None."""
+    m = map_state
+    mp_a = m.kf_kp_mp[kf_a]
+    mp_b = m.kf_kp_mp[kf_b]
+    sel_a = np.where((mp_a >= 0) & m.kf_kp_valid[kf_a])[0]
+    sel_b = np.where((mp_b >= 0) & m.kf_kp_valid[kf_b])[0]
+    if len(sel_a) < min_inliers or len(sel_b) < min_inliers:
+        return None
+    d = matching.hamming_matrix(
+        jnp.asarray(m.kf_kp_desc[kf_a, sel_a]), jnp.asarray(m.kf_kp_desc[kf_b, sel_b])
+    )
+    idx, dist = matching.match_mutual_ratio(d, max_dist=matching.TH_LOW, ratio=0.9)
+    idx = np.array(idx)
+    good = idx >= 0
+    if good.sum() < min_inliers:
+        return None
+    pa = m.mp_pos[mp_a[sel_a[good]]]
+    pb = m.mp_pos[mp_b[sel_b[idx[good]]]]
+    N = len(pa)
+    from .initializer import make_sample_indices  # reuse host RNG helper
+
+    samples = np.stack([
+        np.random.default_rng(seed + i).choice(N, 3, replace=False) for i in range(128)
+    ]).astype(np.int32)
+    s, R, t, inlier, n_in = sim3_mod.sim3_ransac(
+        jnp.asarray(pa, dtype=jnp.float32), jnp.asarray(pb, dtype=jnp.float32),
+        jnp.ones(N, dtype=bool), jnp.asarray(samples), jnp.float32(0.3),
+        fix_scale=fix_scale,
+    )
+    if int(n_in) < min_inliers:
+        return None
+    return float(s), np.array(R), np.array(t), int(n_in)
+
+
+# ---------------------------------------------------------------------------
+# Sim3 pose graph (OptimizeEssentialGraph)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("num_iters", "n_kf"))
+def optimize_sim3_pose_graph(
+    kf_s, kf_R, kf_t,            # (K,), (K, 3, 3), (K, 3): world->kf Sim3
+    edge_i, edge_j,              # (E,) int
+    edge_s, edge_R, edge_t,      # measured relative Sim3: S_ij = S_i S_j^-1
+    edge_valid, edge_weight,
+    kf_fixed, kf_valid,
+    num_iters: int = 20,
+    n_kf: int = 0,
+):
+    """7-DoF pose graph: minimize log(S_ij S_j S_i^-1) over all edges."""
+    Kf = kf_s.shape[0]
+    dim = Kf * 7
+
+    def retract(params, dx):
+        s, R, t = params
+        d = dx.reshape(Kf, 7)
+        ds = jnp.exp(d[:, 0])
+        dR = geo.so3_exp(d[:, 1:4])
+        dt = d[:, 4:7]
+        # left-compose the increment
+        s2, R2, t2 = sim3_mod.sim3_compose(ds, dR, dt, s, R, t)
+        return s2, R2, t2
+
+    def residual(params):
+        s, R, t = params
+        si, Ri, ti = s[edge_i], R[edge_i], t[edge_i]
+        sj, Rj, tj = s[edge_j], R[edge_j], t[edge_j]
+        inv_si, inv_Ri, inv_ti = sim3_mod.sim3_inverse(si, Ri, ti)
+        # err transform = S_ij o S_j o S_i^-1
+        s1, R1, t1 = sim3_mod.sim3_compose(sj, Rj, tj, inv_si, inv_Ri, inv_ti)
+        s2, R2, t2 = sim3_mod.sim3_compose(edge_s, edge_R, edge_t, s1, R1, t1)
+        r = jnp.concatenate(
+            [jnp.log(jnp.maximum(s2, 1e-9))[:, None], geo.so3_log(R2), t2], axis=1
+        )
+        return (r * (edge_weight * edge_valid)[:, None]).reshape(-1)
+
+    mask = jnp.repeat(kf_valid & (~kf_fixed), 7)
+    res = lm_optimize(residual, retract, (kf_s, kf_R, kf_t), dim=dim,
+                      num_iters=num_iters, param_mask=mask)
+    return res.params
+
+
+def correct_loop(map_state, loop_kf, matched_kf, sim3_correction, kf_order=None,
+                 num_iters=20):
+    """Apply a verified loop: build the essential graph (sequential +
+    loop edge), optimize Sim3 poses, re-anchor map points through their
+    first-observing keyframe (CorrectLoop, LoopClosing.cc:401-580).
+
+    sim3_correction: (s, R, t) mapping loop_kf-side world coords onto
+    matched_kf-side coords (from verify_loop_sim3)."""
+    m = map_state
+    kfs = kf_order if kf_order is not None else sorted(int(k) for k in m.kf_ids())
+    K = len(kfs)
+    idx_of = {k: i for i, k in enumerate(kfs)}
+
+    # current Sim3 poses (scale 1): world -> kf
+    s = np.ones(K, dtype=np.float32)
+    R = np.stack([m.kf_tcw[k][:3, :3] for k in kfs])
+    t = np.stack([m.kf_tcw[k][:3, 3] for k in kfs])
+
+    # sequential odometry edges from current estimates
+    ei, ej, es, eR, et, ew = [], [], [], [], [], []
+    for a, b in zip(kfs[:-1], kfs[1:]):
+        i, j = idx_of[a], idx_of[b]
+        # S_ij = S_i S_j^-1 with current values
+        sj_inv, Rj_inv, tj_inv = sim3_mod.sim3_inverse(
+            jnp.asarray(s[j]), jnp.asarray(R[j]), jnp.asarray(t[j])
+        )
+        s_ij, R_ij, t_ij = sim3_mod.sim3_compose(
+            jnp.asarray(s[i]), jnp.asarray(R[i]), jnp.asarray(t[i]),
+            sj_inv, Rj_inv, tj_inv,
+        )
+        ei.append(i); ej.append(j)
+        es.append(float(s_ij)); eR.append(np.array(R_ij)); et.append(np.array(t_ij))
+        ew.append(1.0)
+
+    # the loop edge: matched_kf pose should equal correction applied to
+    # loop_kf-side geometry
+    sc, Rc, tc = sim3_correction
+    i, j = idx_of[matched_kf], idx_of[loop_kf]
+    # desired: S_i ~ S_i (it's the anchor); constrain S_j composed with the
+    # correction: S_ij = S_i o corr o S_j^-1 evaluated with corrected values
+    s_corr, R_corr, t_corr = sim3_mod.sim3_compose(
+        jnp.asarray(s[i]), jnp.asarray(R[i]), jnp.asarray(t[i]),
+        jnp.asarray(np.float32(sc)), jnp.asarray(Rc.astype(np.float32)),
+        jnp.asarray(tc.astype(np.float32)),
+    )
+    sj_inv, Rj_inv, tj_inv = sim3_mod.sim3_inverse(
+        jnp.asarray(s[j]), jnp.asarray(R[j]), jnp.asarray(t[j])
+    )
+    s_ij, R_ij, t_ij = sim3_mod.sim3_compose(s_corr, R_corr, t_corr, sj_inv, Rj_inv, tj_inv)
+    ei.append(i); ej.append(j)
+    es.append(float(s_ij)); eR.append(np.array(R_ij)); et.append(np.array(t_ij))
+    ew.append(float(len(kfs)))  # strong loop edge
+
+    E = len(ei)
+    fixed = np.zeros(K, dtype=bool)
+    fixed[0] = True
+
+    s2, R2, t2 = optimize_sim3_pose_graph(
+        jnp.asarray(s), jnp.asarray(R.astype(np.float32)), jnp.asarray(t.astype(np.float32)),
+        jnp.asarray(np.asarray(ei, dtype=np.int32)), jnp.asarray(np.asarray(ej, dtype=np.int32)),
+        jnp.asarray(np.asarray(es, dtype=np.float32)), jnp.asarray(np.stack(eR).astype(np.float32)),
+        jnp.asarray(np.stack(et).astype(np.float32)),
+        jnp.ones(E, dtype=bool), jnp.asarray(np.asarray(ew, dtype=np.float32)),
+        jnp.asarray(fixed), jnp.ones(K, dtype=bool),
+        num_iters=num_iters, n_kf=K,
+    )
+    s2, R2, t2 = np.array(s2), np.array(R2), np.array(t2)
+
+    # write corrected SE3 poses: absorb scale into translation (mono maps
+    # rescale, rotations stay orthonormal)
+    corrections = {}
+    for k in kfs:
+        i = idx_of[k]
+        old_Tcw = m.kf_tcw[k].astype(np.float64)
+        new_Tcw = np.eye(4)
+        new_Tcw[:3, :3] = R2[i]
+        new_Tcw[:3, 3] = t2[i] / s2[i]
+        corrections[k] = (new_Tcw, old_Tcw, float(s2[i]))
+        m.kf_tcw[k] = new_Tcw.astype(np.float32)
+
+    # re-anchor map points through their first-observing keyframe
+    for mp in m.mp_ids():
+        ref = int(m.mp_first_kf[mp])
+        if ref not in corrections:
+            kf_idx, _, _ = m.observations_of([mp])
+            if len(kf_idx) == 0:
+                continue
+            ref = int(kf_idx[0])
+            if ref not in corrections:
+                continue
+        new_Tcw, old_Tcw, s_ref = corrections[ref]
+        p_cam = old_Tcw[:3, :3] @ m.mp_pos[mp] + old_Tcw[:3, 3]
+        Twc_new = np_geo.inv_T(new_Tcw)
+        m.mp_pos[mp] = (Twc_new[:3, :3] @ (p_cam / s_ref) + Twc_new[:3, 3]).astype(np.float32)
+    return {k: corrections[k][0] for k in kfs}

@@ -1,0 +1,87 @@
+"""Sim3 solvers: Horn closed-form similarity + batched RANSAC.
+
+Re-design of Sim3Solver (orb_object_slam/src/Sim3Solver.cc:224 ComputeSim3,
+:138 iterate): the loop-closing scale-aware alignment between two matched
+3D point sets. The reference iterates RANSAC sequentially; here every
+hypothesis (3-point minimal sample -> Horn) is solved and scored in one
+batched program.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def horn_sim3(p1, p2, weights=None, fix_scale=False):
+    """Closed-form similarity aligning p1 -> p2 (Horn 1987, as in
+    Sim3Solver::ComputeSim3). p1, p2: (..., N, 3).
+
+    Returns (s, R (..., 3, 3), t): p2 ~ s R p1 + t."""
+    if weights is None:
+        weights = jnp.ones(p1.shape[:-1], dtype=p1.dtype)
+    w = weights[..., None]
+    wsum = jnp.sum(w, axis=-2, keepdims=True)
+    c1 = jnp.sum(p1 * w, axis=-2, keepdims=True) / wsum
+    c2 = jnp.sum(p2 * w, axis=-2, keepdims=True) / wsum
+    q1 = (p1 - c1) * jnp.sqrt(w)
+    q2 = (p2 - c2) * jnp.sqrt(w)
+    H = jnp.swapaxes(q1, -1, -2) @ q2  # (..., 3, 3) cross-covariance
+    U, D, Vt = jnp.linalg.svd(H)
+    det = jnp.linalg.det(jnp.swapaxes(Vt, -1, -2) @ jnp.swapaxes(U, -1, -2))
+    S = jnp.broadcast_to(jnp.eye(3), H.shape).copy()
+    S = S.at[..., 2, 2].set(jnp.sign(det))
+    R = jnp.swapaxes(Vt, -1, -2) @ S @ jnp.swapaxes(U, -1, -2)
+    if fix_scale:
+        s = jnp.ones(H.shape[:-2], dtype=p1.dtype)
+    else:
+        num = jnp.sum(D * jnp.concatenate(
+            [jnp.ones_like(D[..., :2]), jnp.sign(det)[..., None]], axis=-1), axis=-1)
+        den = jnp.sum(q1 * q1, axis=(-1, -2))
+        s = num / jnp.where(den > 1e-12, den, 1e-12)
+    t = c2[..., 0, :] - s[..., None] * (R @ c1[..., 0, :, None])[..., 0]
+    return s, R, t
+
+
+@functools.partial(jax.jit, static_argnames=("fix_scale",))
+def sim3_ransac(p1, p2, valid, sample_idx, inlier_thresh, fix_scale=False):
+    """Batched Sim3 RANSAC between matched 3D point sets.
+
+    p1, p2: (N, 3); sample_idx: (S, 3). Returns (s, R, t, inlier (N,),
+    n_inlier) refined by Horn on the best hypothesis's inliers."""
+    s1 = p1[sample_idx]  # (S, 3, 3)
+    s2 = p2[sample_idx]
+    s, R, t = horn_sim3(s1, s2, fix_scale=fix_scale)  # batched over S
+    pred = s[:, None, None] * (p1 @ jnp.swapaxes(R, -1, -2)) + t[:, None, :]
+    err = jnp.linalg.norm(pred - p2[None], axis=-1)  # (S, N)
+    inl = (err < inlier_thresh) & valid[None]
+    counts = jnp.sum(inl, axis=1)
+    best = jnp.argmax(counts)
+    w = inl[best].astype(jnp.float32)
+    s_f, R_f, t_f = horn_sim3(p1, p2, weights=w, fix_scale=fix_scale)
+    pred_f = s_f * (p1 @ R_f.T) + t_f
+    inlier = (jnp.linalg.norm(pred_f - p2, axis=-1) < inlier_thresh) & valid
+    return s_f, R_f, t_f, inlier, jnp.sum(inlier)
+
+
+# ---------------------------------------------------------------------------
+# Sim3 pose-graph pieces (OptimizeEssentialGraph, Optimizer.cc:2575)
+# ---------------------------------------------------------------------------
+
+def sim3_apply(s, R, t, pts):
+    """pts (..., N, 3); s (...,); R (..., 3, 3); t (..., 3)."""
+    return s[..., None, None] * (pts @ jnp.swapaxes(R, -1, -2)) + t[..., None, :]
+
+
+def sim3_inverse(s, R, t):
+    Rinv = jnp.swapaxes(R, -1, -2)
+    return 1.0 / s, Rinv, -(Rinv @ t[..., None])[..., 0] / s[..., None]
+
+
+def sim3_compose(s1, R1, t1, s2, R2, t2):
+    """(s1,R1,t1) o (s2,R2,t2): apply 2 then 1. All broadcast-batched."""
+    s1 = jnp.asarray(s1)
+    return s1 * s2, R1 @ R2, s1[..., None] * (R1 @ t2[..., None])[..., 0] + t1

@@ -46,7 +46,10 @@ def _safe_coeffs_exp(theta2, dtype):
     """(a, b, c) = sin t / t, (1-cos t)/t^2, (1 - a)/t^2 with series
     fallbacks. JVP-safe: the unselected branch is evaluated at a benign
     point (theta2 -> 1) so no NaN/inf leaks through jnp.where gradients."""
-    small = theta2 < 1e-8
+    # threshold 1e-6 (theta < 1e-3): below this, f32 evaluation of
+    # (1 - cos t)/t^2 catastrophically cancels to 0 — the series branch is
+    # exact to ~1e-13 there
+    small = theta2 < 1e-6
     t2s = jnp.where(small, jnp.ones_like(theta2), theta2)  # safe denominator
     ts = jnp.sqrt(t2s)
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(ts) / ts)
@@ -115,7 +118,7 @@ def se3_log(T):
     t = T[..., :3, 3]
     w = so3_log(R)
     theta2 = jnp.sum(w * w, axis=-1)
-    small = theta2 < 1e-8
+    small = theta2 < 1e-6  # see _safe_coeffs_exp: f32 1-cos cancellation
     t2s = jnp.where(small, jnp.ones_like(theta2), theta2)
     ts = jnp.sqrt(t2s)
     a = jnp.sin(ts) / ts
