@@ -1,0 +1,124 @@
+"""Dynamic-object bundle adjustment.
+
+Re-design of Optimizer::LocalBACameraPointObjectsDynamic
+(orb_object_slam/src/Optimizer.cc:1537-2573): moving objects get a cuboid
+pose PER KEYFRAME (`bundle_vertex_ids`, :1726-1786), their points live in
+the OBJECT frame (UnaryLocalPoint keeps them inside the box,
+g2o_Object.h:435-448), observations reproject through camera o objectPose
+o localPoint (EdgeDynamicPointCuboidCamera, g2o_Object.cpp:155-239 — the
+reference hand-writes these Jacobians; autodiff supplies them here), and a
+per-object planar-bicycle velocity ties consecutive keyframe poses together
+(VelocityPlanarVelocity + EdgeObjectMotion, g2o_Object.cpp:241-278,
+wheelbase 2.71 m).
+
+The whole problem is small and dense (a handful of keyframes x objects), so
+it runs on the generic dense LM (graph/lm.py) with one combined retract.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..models import cuboid as cb
+from ..utils import geometry as geo
+from . import factors
+from .ba import HUBER_MONO, _project, huber_weight
+from .lm import lm_optimize
+
+
+@functools.partial(jax.jit, static_argnames=("num_iters",))
+def dynamic_object_ba(
+    kf_tcw,          # (Kf, 4, 4)
+    kf_stamps,       # (Kf,) timestamps (for motion-model dt)
+    obj_pose_kf,     # (O, Kf, 4, 4) object pose per keyframe
+    obj_scale,       # (O, 3) FIXED scale (KITTI prior)
+    velocity,        # (O, 2) [v, steer]
+    local_pts,       # (Q, 3) dynamic points in object frame
+    K,               # (3, 3)
+    # dynamic point reprojection edges
+    dp_kf, dp_obj, dp_pt, dp_uv, dp_si, dp_valid,
+    # motion edges: consecutive keyframe pairs per object
+    mo_obj, mo_k0, mo_k1, mo_valid,
+    # masks
+    kf_fixed, obj_kf_valid, obj_valid, pt_valid,
+    num_iters: int = 12,
+    motion_weight: float = 1.0,
+    inbox_weight: float = 1.0,
+):
+    """Returns (kf_tcw, obj_pose_kf, velocity, local_pts, chi2)."""
+    Kf = kf_tcw.shape[0]
+    O, _, _, _ = obj_pose_kf.shape
+    Q = local_pts.shape[0]
+
+    n_cam = Kf * 6
+    n_obj = O * Kf * 6
+    n_vel = O * 2
+    n_pts = Q * 3
+    dim = n_cam + n_obj + n_vel + n_pts
+
+    def split(dx):
+        dc = dx[:n_cam].reshape(Kf, 6)
+        do = dx[n_cam : n_cam + n_obj].reshape(O, Kf, 6)
+        dv = dx[n_cam + n_obj : n_cam + n_obj + n_vel].reshape(O, 2)
+        dp = dx[n_cam + n_obj + n_vel :].reshape(Q, 3)
+        return dc, do, dv, dp
+
+    def retract(params, dx):
+        kf_tcw, obj_pose_kf, velocity, local_pts = params
+        dc, do, dv, dp = split(dx)
+        new_tcw = geo.se3_exp(dc) @ kf_tcw
+        new_obj = obj_pose_kf @ geo.se3_exp(do)  # right-mult (VertexCuboid)
+        return (new_tcw, new_obj, velocity + dv, local_pts + dp)
+
+    def residual(params):
+        kf_tcw, obj_pose_kf, velocity, local_pts = params
+
+        # --- dynamic point reprojection (EdgeDynamicPointCuboidCamera)
+        T_e = kf_tcw[dp_kf]                       # (E, 4, 4)
+        P_e = obj_pose_kf[dp_obj, dp_kf]          # (E, 4, 4)
+        lp = local_pts[dp_pt]                     # (E, 3)
+        world = (P_e[:, :3, :3] @ lp[..., None])[..., 0] + P_e[:, :3, 3]
+
+        def proj(T, p):
+            uv, _ = _project(T, K, p)
+            return uv
+
+        uv = jax.vmap(proj)(T_e, world)
+        r_dp = (uv - dp_uv) * dp_si[:, None]
+        chi2 = jnp.sum(r_dp * r_dp, axis=-1)
+        w = lax.stop_gradient(huber_weight(chi2, HUBER_MONO))
+        r_dp = r_dp * (w * dp_valid)[:, None]
+
+        # --- in-box prior (UnaryLocalPoint): local points inside half-scale
+        sc = obj_scale[dp_obj]  # (E, 3) — per-edge object scale
+        outside = jnp.abs(lp) - sc
+        r_box = jnp.clip(outside, 0.0, None) * inbox_weight * dp_valid[:, None]
+
+        # --- motion model (EdgeObjectMotion)
+        P0 = obj_pose_kf[mo_obj, mo_k0]
+        P1 = obj_pose_kf[mo_obj, mo_k1]
+        dt = (kf_stamps[mo_k1] - kf_stamps[mo_k0])
+        r_mo = factors.object_motion_error(
+            cb.Cuboid(P0, obj_scale[mo_obj]),
+            cb.Cuboid(P1, obj_scale[mo_obj]),
+            velocity[mo_obj], dt, motion_weight, mo_valid,
+        )
+        return jnp.concatenate([r_dp.reshape(-1), r_box.reshape(-1), r_mo.reshape(-1)])
+
+    cam_mask = jnp.repeat(~kf_fixed, 6)
+    obj_mask = jnp.repeat((obj_valid[:, None] & obj_kf_valid).reshape(-1), 6)
+    vel_mask = jnp.repeat(obj_valid, 2)
+    pts_mask = jnp.repeat(pt_valid, 3)
+    param_mask = jnp.concatenate([cam_mask, obj_mask, vel_mask, pts_mask])
+
+    res = lm_optimize(
+        residual, retract, (kf_tcw, obj_pose_kf, velocity, local_pts),
+        dim=dim, num_iters=num_iters, param_mask=param_mask,
+    )
+    new_tcw, new_obj, new_vel, new_pts = res.params
+    return new_tcw, new_obj, new_vel, new_pts, res.chi2

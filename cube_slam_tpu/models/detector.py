@@ -401,7 +401,12 @@ def _lattice_one_bh(strong, weak, bh, K, invK, Twc_raw, cam_yaw,
     lt, rb = bh["expan_lt"], bh["expan_rb"]
     rect = (xx >= lt[0]) & (xx <= rb[0]) & (yy >= lt[1]) & (yy <= rb[1])
     edges = im_ops.canny_hysteresis(strong & rect, weak & rect)
-    dist_map = dt.edt_l2(edges)
+    from ..ops import pallas_kernels as pk
+
+    if pk.use_pallas():
+        dist_map = pk.edt_l2_pallas(edges)
+    else:
+        dist_map = dt.edt_l2(edges)
 
     # --- per (roll, pitch): sampled camera pose
     rolls, pitchs, rp_mask = bh["rolls"], bh["pitchs"], bh["rp_mask"]  # (NRP,)

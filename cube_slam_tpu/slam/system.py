@@ -184,7 +184,11 @@ class MonocularTracker:
         self.map.kf_kp_mp[kf1, m[sel]] = ids
         self._refresh_mp_geometry(ids)
 
-        # full BA over the initial two-view map
+        # full BA over the initial two-view map, then densify it with
+        # epipolar triangulation between the two init keyframes
+        self._local_ba([kf0, kf1], fixed=[kf0])
+        self.ref_kf = kf1
+        self._triangulate_new(kf1)
         self._local_ba([kf0, kf1], fixed=[kf0])
         self.last_Tcw = self.map.kf_tcw[kf1].copy()
         self.velocity = np.eye(4, dtype=np.float32)
@@ -235,7 +239,15 @@ class MonocularTracker:
             )
             n_in = int(n_in)
             if n_in < cfg.min_inliers_track:
-                return False
+                # TrackReferenceKeyFrame analog (Tracking.cc:1160): global
+                # descriptor match against the reference KF's map points
+                ok_ref, Tcw, mp_to_kp, cand, n_in = self._track_reference_kf(
+                    feats, Tcw_pred
+                )
+                if not ok_ref:
+                    # relocalization (Tracking::Relocalization, :2876):
+                    # brute-force match against the whole map + PnP RANSAC
+                    return self._relocalize(feats)
 
         # record associations from motion tracking
         mp_to_kp = np.array(mp_to_kp)
@@ -294,6 +306,93 @@ class MonocularTracker:
         self.velocity = Tcw_f @ np_geo.inv_T(self.last_Tcw)
         self.last_Tcw = Tcw_f
         self.tracked_inliers = n_in2
+        return True
+
+    def _track_reference_kf(self, feats, Tcw_pred):
+        """Window-free descriptor match against the reference keyframe's
+        map points + robust pose LM (TrackReferenceKeyFrame)."""
+        m = self.map
+        if self.ref_kf < 0:
+            return False, None, None, None, 0
+        ref_mp = m.kf_kp_mp[self.ref_kf]
+        sel = np.where(ref_mp >= 0)[0]
+        ids = ref_mp[sel]
+        ids = ids[m.mp_valid[ids]]
+        if len(ids) < 10:
+            return False, None, None, None, 0
+        M = 1024
+        cand = np.zeros(M, dtype=np.int64)
+        mvalid = np.zeros(M, dtype=bool)
+        take = min(len(ids), M)
+        cand[:take] = ids[:take]
+        mvalid[:take] = True
+        d = matching.hamming_matrix(
+            jnp.asarray(m.mp_desc[cand]), jnp.asarray(feats.desc),
+            jnp.asarray(mvalid), jnp.asarray(feats.valid),
+        )
+        idx, _ = matching.match_mutual_ratio(d, max_dist=matching.TH_LOW, ratio=0.85,
+                                             mutual=True)
+        idx = np.array(idx)
+        matched = idx >= 0
+        if matched.sum() < self.cfg.min_inliers_track:
+            return False, None, None, None, 0
+        kp_sel = np.clip(idx, 0, None)
+        uv = feats.xy[kp_sel].astype(np.float32)
+        si = (1.0 / trk.SCALE_FACTOR ** feats.level[kp_sel]).astype(np.float32)
+        Tcw, inlier, n_in = ba.pose_optimization(
+            jnp.asarray(Tcw_pred), jnp.asarray(self.K),
+            jnp.asarray(m.mp_pos[cand]), jnp.asarray(uv), jnp.asarray(si),
+            jnp.asarray(matched),
+        )
+        n_in = int(n_in)
+        if n_in < self.cfg.min_inliers_track:
+            return False, None, None, None, 0
+        mp_to_kp = jnp.where(jnp.asarray(np.array(inlier)), jnp.asarray(idx), -1)
+        return True, Tcw, mp_to_kp, cand, n_in
+
+    def _relocalize(self, feats):
+        """PnP relocalization against the whole map (Tracking::Relocalization
+        via brute-force matching instead of BoW candidates)."""
+        from . import pnp
+
+        m = self.map
+        ids = m.mp_ids()
+        if len(ids) < 20:
+            return False
+        M = 2048
+        cand = np.zeros(M, dtype=np.int64)
+        mvalid = np.zeros(M, dtype=bool)
+        take = min(len(ids), M)
+        cand[:take] = ids[:take]
+        mvalid[:take] = True
+        d = matching.hamming_matrix(
+            jnp.asarray(m.mp_desc[cand]), jnp.asarray(feats.desc),
+            jnp.asarray(mvalid), jnp.asarray(feats.valid),
+        )
+        idx, _ = matching.match_mutual_ratio(d, max_dist=matching.TH_LOW, ratio=0.8,
+                                             mutual=True)
+        idx = np.array(idx)
+        matched = idx >= 0
+        if matched.sum() < 15:
+            return False
+        kp_sel = np.clip(idx, 0, None)
+        uv = feats.xy[kp_sel].astype(np.float32)
+        samples = pnp.make_pnp_samples(matched, n_ransac=128, seed=self.frame_id)
+        Tcw, inlier, n_in = pnp.pnp_ransac(
+            jnp.asarray(m.mp_pos[cand]), jnp.asarray(uv), jnp.asarray(matched),
+            jnp.asarray(self.K), jnp.asarray(samples),
+        )
+        n_in = int(n_in)
+        if n_in < self.cfg.min_inliers_track:
+            return False
+        inlier = np.array(inlier)
+        feats.mp = np.full(len(feats.valid), -1, dtype=np.int32)
+        good = matched & inlier
+        feats.mp[kp_sel[good]] = cand[good]
+        self.last_Tcw = np.array(Tcw)
+        self.velocity = np.eye(4, dtype=np.float32)
+        self.tracked_inliers = n_in
+        self.last_frame = feats
         return True
 
     # ------------------------------------------------------------------
