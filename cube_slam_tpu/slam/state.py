@@ -89,6 +89,17 @@ class MapState:
         mask = np.isin(self.kf_kp_mp, ids)
         self.kf_kp_mp[mask] = -1
 
+    def replace_mp(self, old, new):
+        """MapPoint::Replace analog: every observation of `old` re-points to
+        `new`; `old` is invalidated."""
+        if old == new:
+            return
+        self.kf_kp_mp[self.kf_kp_mp == old] = new
+        self.mp_nobs[new] += self.mp_nobs[old]
+        self.mp_found[new] += self.mp_found[old]
+        self.mp_visible[new] += self.mp_visible[old]
+        self.mp_valid[old] = False
+
     def observations_of(self, mp_sel):
         """(kf_idx, kp_idx, mp_idx) arrays for all observations of the
         selected map-point ids (for BA edge lists)."""

@@ -51,6 +51,8 @@ class TrackerConfig:
     min_init_matches: int = 100
     init_ratio: float = 0.9
     init_max_dist: int = 50
+    enable_loop_closing: bool = False
+    loop_min_gap_kfs: int = 10
 
 
 class MonocularTracker:
@@ -75,6 +77,10 @@ class MonocularTracker:
         self.ref_kf = -1
         self.trajectory = []  # (frame_id, Tcw)
         self.tracked_inliers = 0
+        from .loop_closing import LoopDetector
+
+        self.loop_detector = LoopDetector(min_gap_kfs=self.cfg.loop_min_gap_kfs)
+        self.loops_closed = 0
 
     def _n_kp_total(self):
         cfg = orb.OrbPyramidConfig(self.cfg.n_features, n_levels=self.cfg.n_levels)
@@ -437,6 +443,7 @@ class MonocularTracker:
         # --- local mapping inline (RunMappingIteration)
         self._cull_map_points(k)
         self._triangulate_new(k)
+        self._fuse_neighbors(k)
         counts = self.map.covisibility_counts(k)
         order = np.argsort(-counts)
         local = [k] + [int(i) for i in order[: cfg.local_ba_kfs - 1] if counts[i] >= 15]
@@ -445,6 +452,30 @@ class MonocularTracker:
         # cap fixed ring size for the BA problem
         self._local_ba(local, fixed=fixed[: cfg.local_ba_kfs])
         self._refresh_mp_geometry(self.map.mp_ids())
+
+        # --- loop closing (LoopClosing::Run, gated like enable_loop_closing)
+        if cfg.enable_loop_closing:
+            self._try_close_loop(k, counts)
+
+    def _try_close_loop(self, k, covis_counts):
+        """DetectLoop -> verify Sim3 -> CorrectLoop over the whole KF set."""
+        from . import loop_closing as lc
+
+        m = self.map
+        self.loop_detector.add(k, m.kf_kp_desc[k], m.kf_kp_valid[k])
+        covisible = [int(i) for i in np.where(covis_counts >= 15)[0]]
+        for cand in self.loop_detector.detect(k, covisible)[:3]:
+            if not m.kf_valid[cand]:
+                continue
+            ver = lc.verify_loop_sim3(m, k, cand, seed=self.frame_id)
+            if ver is None:
+                continue
+            s, R, t, n_in = ver
+            lc.correct_loop(m, loop_kf=k, matched_kf=cand, sim3_correction=(s, R, t))
+            self.last_Tcw = m.kf_tcw[k].copy()
+            self.velocity = np.eye(4, dtype=np.float32)
+            self.loops_closed += 1
+            break
 
     def _cull_map_points(self, new_kf):
         """MapPointCulling (LocalMapping.cc:249-318), simplified: erase map
@@ -500,6 +531,49 @@ class MonocularTracker:
             m.kf_kp_mp[nb, m12[sel]] = ids
             free_k = m.kf_kp_valid[k] & (m.kf_kp_mp[k] < 0)
         self._refresh_mp_geometry(m.mp_ids())
+
+    def _fuse_neighbors(self, k, n_neighbors=2):
+        """SearchInNeighbors (LocalMapping.cc:655-831): project this KF's map
+        points into covisible neighbors; unmatched keypoints gain an
+        observation, conflicting associations merge into the better point."""
+        m = self.map
+        counts = m.covisibility_counts(k)
+        order = [int(i) for i in np.argsort(-counts) if counts[i] >= 10][:n_neighbors]
+        my_mp = m.kf_kp_mp[k]
+        ids = np.unique(my_mp[my_mp >= 0])
+        ids = ids[m.mp_valid[ids]]
+        if len(ids) == 0:
+            return
+        M = 1024
+        cand = np.zeros(M, dtype=np.int64)
+        mvalid = np.zeros(M, dtype=bool)
+        take = min(len(ids), M)
+        cand[:take] = ids[:take]
+        mvalid[:take] = True
+        for nb in order:
+            mp_to_kp, _ = trk.search_local_points(
+                jnp.asarray(m.kf_tcw[nb]), jnp.asarray(self.K),
+                jnp.asarray(m.mp_pos[cand]), jnp.asarray(m.mp_desc[cand]),
+                jnp.asarray(m.mp_level[cand]), jnp.asarray(mvalid),
+                jnp.asarray(m.mp_normal[cand]), jnp.asarray(m.mp_min_dist[cand]),
+                jnp.asarray(m.mp_max_dist[cand]),
+                jnp.asarray(m.kf_kp_xy[nb]), jnp.asarray(m.kf_kp_desc[nb]),
+                jnp.asarray(m.kf_kp_level[nb]), jnp.asarray(m.kf_kp_valid[nb]),
+                jnp.zeros(m.n_kp, dtype=bool),
+                jnp.asarray(self.img_wh), jnp.float32(3.0),
+            )
+            mp_to_kp = np.array(mp_to_kp)
+            for i in np.where(mp_to_kp >= 0)[0]:
+                mp = int(cand[i])
+                kp = int(mp_to_kp[i])
+                existing = int(m.kf_kp_mp[nb, kp])
+                if existing < 0:
+                    m.kf_kp_mp[nb, kp] = mp
+                    m.mp_nobs[mp] += 1
+                elif existing != mp and m.mp_valid[existing]:
+                    keep, drop = (mp, existing) if m.mp_nobs[mp] >= m.mp_nobs[existing] \
+                        else (existing, mp)
+                    m.replace_mp(drop, keep)
 
     def _refresh_mp_geometry(self, ids):
         """UpdateNormalAndDepth analog: viewing normal from the mean of

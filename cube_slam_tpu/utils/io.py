@@ -147,6 +147,49 @@ class CabinetSequence:
         return tum_pose_to_matrix(self.init_poses[idx])
 
 
+def read_offline_cuboid_txts(folder, use_truth_trackid=False, max_frames=10000):
+    """Per-frame offline 3D cuboid txts (Tracking::ReadAllObjecttxt,
+    Tracking_util.cc:25-69): `%04d_3d_cuboids.txt` rows of
+    [center(3), yaw, scale(3), bbox x1 y1 w h, prob] (+ leading tracklet id
+    when use_truth_trackid). Returns list per frame of (N, 12|13) arrays;
+    stops at the first missing frame file."""
+    out = []
+    for i in range(max_frames):
+        path = os.path.join(folder, "%04d_3d_cuboids.txt" % i)
+        if not os.path.exists(path):
+            break
+        out.append(read_all_number_txt(path))
+    return out
+
+
+class KittiSequence:
+    """KITTI odometry-style sequence loader: `image_0/%06d.png`, times.txt,
+    optional offline 2D/3D detections (the reference's KITTI inputs,
+    Examples/Monocular/mono_kitti.cc:58 + Tracking_util.cc). Used when real
+    KITTI data is mounted; the bundled tests use CabinetSequence."""
+
+    def __init__(self, base_folder, K=None):
+        self.base = base_folder
+        times_path = os.path.join(base_folder, "times.txt")
+        self.times = (
+            read_all_number_txt(times_path).reshape(-1)
+            if os.path.exists(times_path) else None
+        )
+        self.K = K
+        self.num_frames = len(self.times) if self.times is not None else 0
+
+    def gray(self, idx):
+        for pattern in ("image_0/%06d.png", "image_2/%06d.png", "%06d.png"):
+            p = os.path.join(self.base, pattern % idx)
+            if os.path.exists(p):
+                return load_image(p, gray=True)
+        raise FileNotFoundError(f"frame {idx} under {self.base}")
+
+    def offline_cuboids(self, use_truth_trackid=False):
+        sub = "pred_3d_obj_matched_tracked_txt" if use_truth_trackid else "pred_3d_obj_matched_txt"
+        return read_offline_cuboid_txts(os.path.join(self.base, sub), use_truth_trackid)
+
+
 def load_detect3d_fixture():
     """Bundled single-frame fixture of detect_3d_cuboid/ (main.cpp:27-74):
     image, offline LSD edges, hard-coded K / camera pose / 2D bbox.

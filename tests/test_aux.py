@@ -108,3 +108,31 @@ def test_profiler_aggregation():
     assert "work" in agg and "paired" in agg
     assert agg["work"][4] == 1
     profiler.disable()
+
+
+def test_replace_mp():
+    m = MapState(max_kf=2, max_mp=16, n_kp=8)
+    m.kf_valid[:2] = True
+    m.mp_valid[[3, 5]] = True
+    m.mp_nobs[3] = 3
+    m.mp_nobs[5] = 1
+    m.kf_kp_mp[0, 2] = 3
+    m.kf_kp_mp[1, 4] = 5
+    m.replace_mp(5, 3)
+    assert not m.mp_valid[5]
+    assert m.kf_kp_mp[1, 4] == 3
+    assert m.mp_nobs[3] == 4
+
+
+def test_kitti_offline_cuboid_reader(tmp_path):
+    from cube_slam_tpu.utils import io as io_utils
+
+    d = tmp_path / "pred_3d_obj_matched_txt"
+    d.mkdir()
+    (d / "0000_3d_cuboids.txt").write_text("1 2 3 0.5 1.9 0.8 0.7 100 50 40 30 0.9\n")
+    (d / "0001_3d_cuboids.txt").write_text("")
+    rows = io_utils.read_offline_cuboid_txts(str(d))
+    assert len(rows) == 2
+    assert rows[0].shape == (1, 12)
+    assert rows[0][0, 3] == 0.5
+    assert rows[1].size == 0
