@@ -70,7 +70,7 @@ def _solve_f_batch(p1, p2):
     return u @ (s[..., None] * vt2)
 
 
-def _score_h(H, H_inv, p1, p2, valid):
+def _score_h(H, H_inv, p1, p2, valid, sigma=SIGMA):
     """Symmetric transfer error score (CheckHomography, Initializer.cc:~230).
     H: (S, 3, 3); p1, p2: (N, 2). Returns (score (S,), inliers (S, N))."""
     ph1 = jnp.concatenate([p1, jnp.ones((p1.shape[0], 1))], axis=1)  # (N, 3)
@@ -83,25 +83,25 @@ def _score_h(H, H_inv, p1, p2, valid):
         uv = q[..., :2] / w
         return jnp.sum((uv - dst[None]) ** 2, axis=-1)  # (S, N)
 
-    e12 = transfer(H, ph1[None], p2) / (SIGMA * SIGMA)
-    e21 = transfer(H_inv, ph2[None], p1) / (SIGMA * SIGMA)
+    e12 = transfer(H, ph1[None], p2) / (sigma * sigma)
+    e21 = transfer(H_inv, ph2[None], p1) / (sigma * sigma)
     ok = (e12 < TH_H) & (e21 < TH_H) & valid[None]
     sc = jnp.where(e12 < TH_H, TH_SCORE - e12, 0.0) + jnp.where(e21 < TH_H, TH_SCORE - e21, 0.0)
     return jnp.sum(jnp.where(valid[None], sc, 0.0), axis=1), ok
 
 
-def _score_f(F, p1, p2, valid):
+def _score_f(F, p1, p2, valid, sigma=SIGMA):
     """Epipolar distance score (CheckFundamental, Initializer.cc:~330)."""
     ph1 = jnp.concatenate([p1, jnp.ones((p1.shape[0], 1))], axis=1)
     ph2 = jnp.concatenate([p2, jnp.ones((p2.shape[0], 1))], axis=1)
     l2 = ph1[None] @ jnp.swapaxes(F, -1, -2)  # (S, N, 3) lines in img2
     num2 = jnp.sum(l2 * ph2[None], axis=-1) ** 2
     den2 = l2[..., 0] ** 2 + l2[..., 1] ** 2
-    e2 = num2 / jnp.where(den2 > 1e-12, den2, 1e-12) / (SIGMA * SIGMA)
+    e2 = num2 / jnp.where(den2 > 1e-12, den2, 1e-12) / (sigma * sigma)
     l1 = ph2[None] @ F  # lines in img1
     num1 = jnp.sum(l1 * ph1[None], axis=-1) ** 2
     den1 = l1[..., 0] ** 2 + l1[..., 1] ** 2
-    e1 = num1 / jnp.where(den1 > 1e-12, den1, 1e-12) / (SIGMA * SIGMA)
+    e1 = num1 / jnp.where(den1 > 1e-12, den1, 1e-12) / (sigma * sigma)
     ok = (e1 < TH_F) & (e2 < TH_F) & valid[None]
     sc = jnp.where(e1 < TH_F, TH_SCORE - e1, 0.0) + jnp.where(e2 < TH_F, TH_SCORE - e2, 0.0)
     return jnp.sum(jnp.where(valid[None], sc, 0.0), axis=1), ok
@@ -126,7 +126,7 @@ def triangulate(P1, P2, p1, p2):
     return X[:, :3] / w
 
 
-def _cheirality(R, t, K, p1, p2, inlier, max_parallax_needed=1.0):
+def _cheirality(R, t, K, p1, p2, inlier, max_parallax_needed=1.0, sigma=SIGMA):
     """Count points in front of both cameras with finite depth & low reproj
     error (CheckRT, Initializer.cc:~790)."""
     P1 = K @ jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)
@@ -143,8 +143,9 @@ def _cheirality(R, t, K, p1, p2, inlier, max_parallax_needed=1.0):
     uv2 = uv2[:, :2] / jnp.where(jnp.abs(uv2[:, 2:3]) < 1e-12, 1e-12, uv2[:, 2:3])
     e1 = jnp.sum((uv1 - p1) ** 2, axis=1)
     e2 = jnp.sum((uv2 - p2) ** 2, axis=1)
+    s2 = sigma * sigma
     good = (
-        inlier & (z1 > 0) & (z2 > 0) & (e1 < 4.0 * TH_H) & (e2 < 4.0 * TH_H)
+        inlier & (z1 > 0) & (z2 > 0) & (e1 < 4.0 * TH_H * s2) & (e2 < 4.0 * TH_H * s2)
         & jnp.isfinite(X).all(axis=1)
     )
     return jnp.sum(good), good, X
@@ -164,7 +165,7 @@ def decompose_e(E):
 
 
 @functools.partial(jax.jit, static_argnames=("n_ransac",))
-def initialize_two_view(p1, p2, valid, K, sample_idx, n_ransac=200):
+def initialize_two_view(p1, p2, valid, K, sample_idx, n_ransac=200, sigma=1.0):
     """Full two-view init: H & F RANSAC, model selection, reconstruction.
 
     p1, p2: (N, 2) matched keypoints (frame1 -> frame2); valid: (N,) bool;
@@ -185,8 +186,8 @@ def initialize_two_view(p1, p2, valid, K, sample_idx, n_ransac=200):
     Fn = _solve_f_batch(s1, s2)
     F = T2.T @ Fn @ T1
 
-    score_h, inl_h = _score_h(H, jnp.linalg.inv(H), p1, p2, valid)
-    score_f, inl_f = _score_f(F, p1, p2, valid)
+    score_h, inl_h = _score_h(H, jnp.linalg.inv(H), p1, p2, valid, sigma=sigma)
+    score_f, inl_f = _score_f(F, p1, p2, valid, sigma=sigma)
 
     best_h = jnp.argmax(score_h)
     best_f = jnp.argmax(score_f)
@@ -250,7 +251,7 @@ def initialize_two_view(p1, p2, valid, K, sample_idx, n_ransac=200):
             hyps_h.append((Rh2, th2))
 
     def eval_hyp(R, t, inl):
-        n, good, X = _cheirality(R, t, K, p1, p2, inl)
+        n, good, X = _cheirality(R, t, K, p1, p2, inl, sigma=sigma)
         return n, good, X
 
     results = [eval_hyp(R, t, inl_f[best_f]) for R, t in hyps_f]

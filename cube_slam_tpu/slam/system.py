@@ -224,7 +224,7 @@ class MonocularTracker:
         cand[:take] = cand_ids[:take]
         mvalid[:take] = True
 
-        Tcw, mp_to_kp, inlier, n_in = trk.track_pose(
+        Tcw, mp_to_kp, inlier, n_in, raw_match = trk.track_pose(
             jnp.asarray(Tcw_pred), jnp.asarray(self.K),
             jnp.asarray(self.map.mp_pos[cand]), jnp.asarray(self.map.mp_desc[cand]),
             jnp.asarray(self.map.mp_level[cand]), jnp.asarray(mvalid),
@@ -234,17 +234,15 @@ class MonocularTracker:
         )
         n_in = int(n_in)
         if n_in < cfg.min_inliers_track:
-            # wider search fallback (reference doubles the window, :1311)
-            Tcw, mp_to_kp, inlier, n_in = trk.track_pose(
-                jnp.asarray(Tcw_pred), jnp.asarray(self.K),
-                jnp.asarray(self.map.mp_pos[cand]), jnp.asarray(self.map.mp_desc[cand]),
-                jnp.asarray(self.map.mp_level[cand]), jnp.asarray(mvalid),
-                jnp.asarray(feats.xy), jnp.asarray(feats.desc),
-                jnp.asarray(feats.level), jnp.asarray(feats.valid),
-                jnp.float32(2 * cfg.match_radius_motion), jnp.asarray(self.img_wh),
+            # wide-baseline rescue: PnP-RANSAC on the raw window matches
+            # (plain pose LM cannot absorb large inter-frame motion; the
+            # reference's answer is Relocalization's PnP, Tracking.cc:2876)
+            ok_pnp, Tcw_p, mp_to_kp_p, n_p = self._pnp_on_matches(
+                feats, cand, np.array(raw_match)
             )
-            n_in = int(n_in)
-            if n_in < cfg.min_inliers_track:
+            if ok_pnp and n_p >= cfg.min_inliers_track:
+                Tcw, mp_to_kp, n_in = Tcw_p, mp_to_kp_p, n_p
+            else:
                 # TrackReferenceKeyFrame analog (Tracking.cc:1160): global
                 # descriptor match against the reference KF's map points
                 ok_ref, Tcw, mp_to_kp, cand, n_in = self._track_reference_kf(
@@ -314,6 +312,25 @@ class MonocularTracker:
         self.tracked_inliers = n_in2
         return True
 
+    def _pnp_on_matches(self, feats, cand, raw_match):
+        """PnP-RANSAC over (map point -> keypoint) matches."""
+        from . import pnp
+
+        matched = raw_match >= 0
+        if matched.sum() < 10:
+            return False, None, None, 0
+        kp_sel = np.clip(raw_match, 0, None)
+        uv = feats.xy[kp_sel].astype(np.float32)
+        samples = pnp.make_pnp_samples(matched, n_ransac=128, seed=self.frame_id)
+        Tcw, inlier, n_in = pnp.pnp_ransac(
+            jnp.asarray(self.map.mp_pos[cand]), jnp.asarray(uv),
+            jnp.asarray(matched), jnp.asarray(self.K), jnp.asarray(samples),
+        )
+        n_in = int(n_in)
+        inlier = np.array(inlier)
+        mp_to_kp = np.where(inlier & matched, raw_match, -1)
+        return True, Tcw, jnp.asarray(mp_to_kp), n_in
+
     def _track_reference_kf(self, feats, Tcw_pred):
         """Window-free descriptor match against the reference keyframe's
         map points + robust pose LM (TrackReferenceKeyFrame)."""
@@ -375,8 +392,7 @@ class MonocularTracker:
             jnp.asarray(m.mp_desc[cand]), jnp.asarray(feats.desc),
             jnp.asarray(mvalid), jnp.asarray(feats.valid),
         )
-        idx, _ = matching.match_mutual_ratio(d, max_dist=matching.TH_LOW, ratio=0.8,
-                                             mutual=True)
+        idx, _ = matching.match_mutual_ratio(d, max_dist=64, ratio=0.9, mutual=True)
         idx = np.array(idx)
         matched = idx >= 0
         if matched.sum() < 15:
@@ -709,10 +725,58 @@ class ObjectSlamTracker(MonocularTracker):
             self.ground_align = np.asarray(ground_Twc0, dtype=np.float64)
         self.camera_object_weight = camera_object_weight
         self._pending_obs = None  # (gray, bboxes, lines) for the next KF
+        self.mono_scale_initialized = False
 
     def track(self, gray, bboxes_2d=None, lines=None):
         self._pending_obs = (gray, bboxes_2d, lines)
-        return super().track(gray)
+        was_uninit = self.state == "NOT_INITIALIZED"
+        out = super().track(gray)
+        if was_uninit and self.state == "OK":
+            self._object_depth_scale_init()
+        return out
+
+    def _object_depth_scale_init(self):
+        """MonoObjDepthInitialization analog (Tracking.cc:852-930): anchor
+        the arbitrary monocular scale to the cuboid detector's metric depth
+        (which comes from the known camera height above the ground plane).
+        Runs right after two-view initialization: detect on the second init
+        keyframe, compare the object's metric depth with the median depth of
+        map points inside its box, rescale the map."""
+        gray, bboxes_2d, lines = self._pending_obs or (None, None, None)
+        if bboxes_2d is None or lines is None or len(bboxes_2d) == 0:
+            return
+        m = self.map
+        k = self.ref_kf
+        Twc_slam = np_geo.inv_T(m.kf_tcw[k].astype(np.float64))
+        Twc_ground = (self.ground_align @ Twc_slam) if self.ground_align is not None else Twc_slam
+        dets = self.objects.detect_on_keyframe(m, k, gray, bboxes_2d, lines, Twc_ground)
+        if not dets:
+            return
+        det = dets[0]
+        obj_depth = float(det.local_pose[2, 3])
+        if obj_depth <= 0.1:
+            return
+        # median camera-frame depth of map points inside the detection box
+        mp = m.kf_kp_mp[k]
+        inside = np.zeros(len(mp), dtype=bool)
+        inside[det.owned_kps] = True
+        ids = mp[(mp >= 0) & inside]
+        ids = ids[m.mp_valid[ids]]
+        if len(ids) < 5:
+            return
+        Tcw = m.kf_tcw[k]
+        z = (m.mp_pos[ids] @ Tcw[:3, :3].T + Tcw[:3, 3])[:, 2]
+        z = z[z > 0]
+        if len(z) < 5:
+            return
+        scale = obj_depth / float(np.median(z))
+        if not (0.05 < scale < 50.0):
+            return
+        from .ground import GroundScaleEstimator
+
+        GroundScaleEstimator.apply_scale(m, k, scale)
+        self.last_Tcw = m.kf_tcw[k].copy()
+        self.mono_scale_initialized = True
 
     def _create_keyframe(self, feats):
         super()._create_keyframe(feats)

@@ -82,7 +82,7 @@ def track_pose(
     Tcw, inlier, n_in = ba.pose_optimization(
         Tcw_pred, K, mp_pos, uv_meas, sqrt_info, matched,
     )
-    return Tcw, jnp.where(inlier, mp_to_kp, -1), inlier, n_in
+    return Tcw, jnp.where(inlier, mp_to_kp, -1), inlier, n_in, mp_to_kp
 
 
 @functools.partial(jax.jit, static_argnames=())

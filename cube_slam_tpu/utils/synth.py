@@ -1,0 +1,136 @@
+"""Procedural synthetic sequences with exact ground truth.
+
+The reference validates its full SLAM runtime on video-rate rosbags (TUM /
+KITTI, README.md:52) that are not redistributable; the bundled 58-frame
+cabinet set is keyframe-subsampled (~6 deg/frame — far beyond what any
+frame-to-frame tracker, including the reference's, is designed for). This
+module renders a textured 3D room (ground plane + walls) under a pinhole
+camera by inverse ray casting, so the full tracking runtime can be
+validated at video rate against exact poses.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def value_noise_texture(size=1024, octaves=5, seed=0, contrast=1.0):
+    """Multi-octave value noise in [0, 255] with plenty of corners."""
+    rng = np.random.default_rng(seed)
+    tex = np.zeros((size, size))
+    for o in range(octaves):
+        n = 4 * 2**o
+        grid = rng.uniform(0, 1, (n + 1, n + 1))
+        # bilinear upsample to size
+        idx = np.linspace(0, n, size)
+        i0 = np.floor(idx).astype(int)
+        f = idx - i0
+        i1 = np.minimum(i0 + 1, n)
+        row = grid[i0][:, i0] * (1 - f)[:, None] * (1 - f)[None, :] \
+            + grid[i1][:, i0] * f[:, None] * (1 - f)[None, :] \
+            + grid[i0][:, i1] * (1 - f)[:, None] * f[None, :] \
+            + grid[i1][:, i1] * f[:, None] * f[None, :]
+        tex += row / 2**o
+    tex = (tex - tex.min()) / (tex.max() - tex.min())
+    # add blocky high-contrast patches (corner features)
+    blocks = rng.uniform(0, 1, (64, 64)) > 0.5
+    rep = size // 64
+    tex = 0.6 * tex + 0.4 * np.kron(blocks, np.ones((rep, rep)))
+    tex = 0.5 + contrast * (tex - 0.5)
+    return np.clip(tex * 255.0, 0, 255).astype(np.float32)
+
+
+class RoomScene:
+    """Ground plane z=0 + back wall y=wall_y + side walls x=+-half_x,
+    each with its own texture. World units meters; textures tile every
+    `tex_scale` meters."""
+
+    def __init__(self, wall_y=6.0, half_x=4.0, height=3.0, tex_scale=4.0, seed=0):
+        self.wall_y = wall_y
+        self.half_x = half_x
+        self.height = height
+        self.tex_scale = tex_scale
+        self.tex = [value_noise_texture(seed=seed + i) for i in range(4)]
+
+    def _sample(self, tex, u, v):
+        size = tex.shape[0]
+        uu = (u / self.tex_scale % 1.0) * (size - 1)
+        vv = (v / self.tex_scale % 1.0) * (size - 1)
+        u0 = np.floor(uu).astype(int)
+        v0 = np.floor(vv).astype(int)
+        fu = uu - u0
+        fv = vv - v0
+        u1 = np.minimum(u0 + 1, size - 1)
+        v1 = np.minimum(v0 + 1, size - 1)
+        return (tex[v0, u0] * (1 - fu) * (1 - fv) + tex[v0, u1] * fu * (1 - fv)
+                + tex[v1, u0] * (1 - fu) * fv + tex[v1, u1] * fu * fv)
+
+    def render(self, Twc, K, wh=(640, 480)):
+        """Inverse ray casting: for each pixel, intersect the camera ray with
+        the room planes, take the nearest hit, sample its texture."""
+        W, H = wh
+        Rwc = Twc[:3, :3]
+        c = Twc[:3, 3]
+        xs, ys = np.meshgrid(np.arange(W, dtype=np.float64), np.arange(H, dtype=np.float64))
+        Kinv = np.linalg.inv(K)
+        rays_cam = np.stack([xs, ys, np.ones_like(xs)], axis=-1) @ Kinv.T
+        rays = rays_cam @ Rwc.T  # world directions
+
+        best_t = np.full((H, W), np.inf)
+        img = np.full((H, W), 40.0, dtype=np.float32)
+
+        planes = [
+            # (normal, offset, texture idx, uv extractor)
+            (np.array([0.0, 0.0, 1.0]), 0.0, 0, lambda P: (P[..., 0], P[..., 1])),
+            (np.array([0.0, 1.0, 0.0]), self.wall_y, 1, lambda P: (P[..., 0], P[..., 2])),
+            (np.array([1.0, 0.0, 0.0]), -self.half_x, 2, lambda P: (P[..., 1], P[..., 2])),
+            (np.array([1.0, 0.0, 0.0]), self.half_x, 3, lambda P: (P[..., 1], P[..., 2])),
+        ]
+        for n, d, ti, uv_of in planes:
+            denom = rays @ n
+            tnum = d - c @ n
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = tnum / denom
+            valid = (t > 0.05) & np.isfinite(t)
+            P = c[None, None, :] + t[..., None] * rays
+            # clip to room extents
+            if ti == 0:
+                inside = (np.abs(P[..., 0]) <= self.half_x) & (P[..., 1] <= self.wall_y)
+            elif ti == 1:
+                inside = (np.abs(P[..., 0]) <= self.half_x) & (P[..., 2] >= 0) & (P[..., 2] <= self.height)
+            else:
+                inside = (P[..., 1] <= self.wall_y) & (P[..., 2] >= 0) & (P[..., 2] <= self.height)
+            hit = valid & inside & (t < best_t)
+            if hit.any():
+                u, v = uv_of(P)
+                vals = self._sample(self.tex[ti], u[hit], v[hit])
+                img[hit] = vals
+                best_t[hit] = t[hit]
+        return img
+
+
+def camera_path(n_frames, kind="arc", seed=0):
+    """Smooth camera trajectory inside the room, looking toward the back
+    wall. Returns (N, 4, 4) Twc (camera x right, y down, z forward)."""
+    poses = []
+    for i in range(n_frames):
+        s = i / max(n_frames - 1, 1)
+        if kind == "arc":
+            x = -1.5 + 3.0 * s
+            y = 1.0 + 0.8 * np.sin(np.pi * s)
+            z = 1.4 + 0.1 * np.sin(2 * np.pi * s)
+            yaw_look = 0.25 * (s - 0.5)  # slight look rotation
+        else:  # forward
+            x, y, z = 0.0, 0.5 + 3.0 * s, 1.4
+            yaw_look = 0.0
+        eye = np.array([x, y, z])
+        f = np.array([np.sin(yaw_look), np.cos(yaw_look), -0.05])
+        f = f / np.linalg.norm(f)
+        xr = np.cross(f, np.array([0.0, 0.0, 1.0]))
+        xr /= np.linalg.norm(xr)
+        yd = np.cross(f, xr)
+        Twc = np.eye(4)
+        Twc[:3, :3] = np.stack([xr, yd, f], axis=1)
+        Twc[:3, 3] = eye
+        poses.append(Twc)
+    return np.stack(poses)
