@@ -576,7 +576,7 @@ class MonocularTracker:
                 jnp.asarray(m.kf_kp_xy[nb]), jnp.asarray(m.kf_kp_desc[nb]),
                 jnp.asarray(m.kf_kp_level[nb]), jnp.asarray(m.kf_kp_valid[nb]),
                 jnp.zeros(m.n_kp, dtype=bool),
-                jnp.asarray(self.img_wh), jnp.float32(3.0),
+                jnp.asarray(self.img_wh), jnp.float32(2.5),
             )
             mp_to_kp = np.array(mp_to_kp)
             for i in np.where(mp_to_kp >= 0)[0]:
@@ -587,9 +587,16 @@ class MonocularTracker:
                     m.kf_kp_mp[nb, kp] = mp
                     m.mp_nobs[mp] += 1
                 elif existing != mp and m.mp_valid[existing]:
-                    keep, drop = (mp, existing) if m.mp_nobs[mp] >= m.mp_nobs[existing] \
-                        else (existing, mp)
-                    m.replace_mp(drop, keep)
+                    # merge ONLY when the two points coincide in 3D — on
+                    # repetitive texture a descriptor+window match alone
+                    # merges aliases and corrupts the map
+                    d3 = np.linalg.norm(m.mp_pos[mp] - m.mp_pos[existing])
+                    depth = max(np.linalg.norm(
+                        m.mp_pos[mp] - np_geo.inv_T(m.kf_tcw[nb])[:3, 3]), 1e-6)
+                    if d3 < 0.05 * depth:
+                        keep, drop = (mp, existing) if m.mp_nobs[mp] >= m.mp_nobs[existing] \
+                            else (existing, mp)
+                        m.replace_mp(drop, keep)
 
     def _refresh_mp_geometry(self, ids):
         """UpdateNormalAndDepth analog: viewing normal from the mean of
