@@ -32,7 +32,7 @@ def main():
     kernel_args, _ = det.prepare_batch(fx["gray"], fx["Twc"], fx["bbox"], fx["edges"])
 
     def run_detect():
-        res, top_idx, top_scores, top_valid = detect_lattice_batch(**kernel_args)
+        res, top_idx, top_scores, top_valid, packed = detect_lattice_batch(**kernel_args)
         return top_scores
 
     jax.block_until_ready(run_detect())  # compile

@@ -563,7 +563,32 @@ def detect_lattice_batch(gray, bh_batch, K, invK, Twc_raw, cam_yaw,
     top_scores_neg, top_idx = jax.lax.top_k(-combined, top_k)  # (NB, top_k)
     top_scores = -top_scores_neg
     top_valid = jnp.take_along_axis(keep, top_idx, axis=1)
-    return res, top_idx, top_scores, top_valid
+
+    # gather the top-k proposal fields ON DEVICE and pack them into two
+    # arrays: host<->device transfers over a tunneled TPU cost ~30 ms per
+    # leaf, so shipping 14 full (NB, L, ...) leaves dominated frame time
+    def take(x):
+        idx = top_idx
+        while idx.ndim < x.ndim:
+            idx = idx[..., None]
+        return jnp.take_along_axis(x, idx.astype(jnp.int32), axis=1)
+
+    packed_f = jnp.concatenate(
+        [
+            take(res.pos), take(res.scale),
+            take(res.corners2d).reshape(NB, top_k, 16),
+            take(res.yaw)[..., None], take(res.roll)[..., None],
+            take(res.pitch)[..., None], take(res.dist_err)[..., None],
+            take(res.angle_err)[..., None], take(res.norm_score)[..., None],
+            take(res.down_expand)[..., None],
+            take(res.config_id).astype(jnp.float32)[..., None],
+            take(res.vp1_pos).astype(jnp.float32)[..., None],
+            top_scores[..., None],
+            top_valid.astype(jnp.float32)[..., None],
+        ],
+        axis=-1,
+    )  # (NB, top_k, 33)
+    return res, top_idx, top_scores, top_valid, packed_f
 
 
 # ---------------------------------------------------------------------------
@@ -781,38 +806,39 @@ class CuboidDetector:
         Returns list (per bbox) of lists of CuboidProposal, best first.
         """
         kernel_args, aux = self.prepare_batch(rgb_or_gray, transToWorld, obj_bboxes, lines_raw)
-        res, top_idx, top_scores, top_valid = detect_lattice_batch(**kernel_args)
+        res, top_idx, top_scores, top_valid, packed = detect_lattice_batch(**kernel_args)
         bboxes = aux["bboxes"]
         cam_euler_raw = aux["cam_euler_raw"]
         num_obj = aux["num_obj"]
 
-        # gather host-side proposals
-        res_np = jax.tree.map(np.asarray, res)
-        top_idx = np.asarray(top_idx)
-        top_valid = np.asarray(top_valid)
+        # ONE small host transfer instead of one per proposal field
+        packed = np.asarray(packed)   # (NB, top_k, 33)
+        top_valid = packed[..., 32] > 0.5
         out = []
         for b in range(num_obj):
             props = []
             for k in range(min(self.max_cuboid_num, self.top_k)):
                 if not top_valid[b, k]:
                     continue
-                i = top_idx[b, k]
-                scale = res_np.scale[b, i]
+                row = packed[b, k]
+                pos = row[0:3]
+                scale = row[3:6]
+                corners = row[6:22].reshape(8, 2)
                 skew = max(scale[0], scale[1]) / max(min(scale[0], scale[1]), 1e-12)
                 props.append(CuboidProposal(
-                    pos=res_np.pos[b, i],
-                    rotY=float(res_np.yaw[b, i]),
+                    pos=pos,
+                    rotY=float(row[22]),
                     scale=scale,
-                    box_config_type=np.array([res_np.config_id[b, i], res_np.vp1_pos[b, i]]),
-                    box_corners_2d=res_np.corners2d[b, i].T.astype(np.int32),
+                    box_config_type=np.array([int(row[29]), int(row[30])]),
+                    box_corners_2d=corners.T.astype(np.int32),
                     rect_detect_2d=bboxes[b, :4].copy(),
-                    edge_distance_error=float(res_np.dist_err[b, i]),
-                    edge_angle_error=float(res_np.angle_err[b, i]),
-                    normalized_error=float(res_np.norm_score[b, i]),
+                    edge_distance_error=float(row[25]),
+                    edge_angle_error=float(row[26]),
+                    normalized_error=float(row[27]),
                     skew_ratio=float(skew),
-                    down_expand_height=float(res_np.down_expand[b, i]),
-                    camera_roll_delta=float(res_np.roll[b, i] - cam_euler_raw[0]),
-                    camera_pitch_delta=float(res_np.pitch[b, i] - cam_euler_raw[1]),
+                    down_expand_height=float(row[28]),
+                    camera_roll_delta=float(row[23] - cam_euler_raw[0]),
+                    camera_pitch_delta=float(row[24] - cam_euler_raw[1]),
                 ))
             out.append(props)
         return out
