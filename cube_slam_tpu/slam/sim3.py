@@ -71,6 +71,63 @@ def sim3_ransac(p1, p2, valid, sample_idx, inlier_thresh, fix_scale=False):
 # Sim3 pose-graph pieces (OptimizeEssentialGraph, Optimizer.cc:2575)
 # ---------------------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnames=("num_iters", "fix_scale"))
+def optimize_sim3_relative(
+    s0, R0, t0,          # initial Sim3: cam1-frame points -> cam2 frame
+    pts1_cam, pts2_cam,  # (N, 3) matched map points in each camera frame
+    uv1, uv2,            # (N, 2) their pixel observations in each image
+    K, valid,
+    num_iters: int = 10,
+    fix_scale: bool = False,
+    huber_px: float = 3.0,
+):
+    """Optimizer::OptimizeSim3 (Optimizer.cc:2838-3035): refine a relative
+    Sim3 between two keyframes by reprojecting each one's matched map points
+    into the OTHER image (both directions), robust kernel, inliers gated at
+    chi2 9.21 (2 dof, 99%). Returns (s, R, t, inlier, n_inlier)."""
+    from ..graph.lm import lm_optimize
+    from ..utils import geometry as geo_mod
+
+    def project(pc):
+        z = jnp.where(jnp.abs(pc[:, 2:3]) < 1e-9, 1e-9, pc[:, 2:3])
+        return (pc @ K.T)[:, :2] / z
+
+    def residual(params):
+        s, R, t = params
+        # direction 1: cam1 points through Sim3 into image 2
+        p12 = sim3_apply(s, R, t, pts1_cam)
+        r1 = project(p12) - uv2
+        # direction 2: cam2 points through the inverse into image 1
+        si, Ri, ti = sim3_inverse(s, R, t)
+        p21 = sim3_apply(si, Ri, ti, pts2_cam)
+        r2 = project(p21) - uv1
+        r = jnp.concatenate([r1, r2], axis=0)
+        chi2 = jnp.sum(r * r, axis=-1)
+        e = jnp.sqrt(jnp.maximum(chi2, 1e-18))
+        w = jnp.where(e <= huber_px, 1.0, jnp.sqrt(huber_px / e))
+        v2 = jnp.concatenate([valid, valid])
+        return (r * (jax.lax.stop_gradient(w) * v2)[:, None]).reshape(-1)
+
+    def retract(params, dx):
+        s, R, t = params
+        ds = jnp.exp(dx[0]) if not fix_scale else 1.0
+        return sim3_compose(ds * jnp.ones(()), geo_mod.so3_exp(dx[1:4]), dx[4:7], s, R, t)
+
+    mask = jnp.ones((7,), dtype=bool)
+    if fix_scale:
+        mask = mask.at[0].set(False)
+    res = lm_optimize(residual, retract, (s0, R0, t0), dim=7,
+                      num_iters=num_iters, param_mask=mask)
+    s, R, t = res.params
+    p12 = sim3_apply(s, R, t, pts1_cam)
+    e1 = jnp.sum((project(p12) - uv2) ** 2, axis=-1)
+    si, Ri, ti = sim3_inverse(s, R, t)
+    p21 = sim3_apply(si, Ri, ti, pts2_cam)
+    e2 = jnp.sum((project(p21) - uv1) ** 2, axis=-1)
+    inlier = valid & (e1 < 9.21) & (e2 < 9.21)
+    return s, R, t, inlier, jnp.sum(inlier)
+
+
 def sim3_apply(s, R, t, pts):
     """pts (..., N, 3); s (...,); R (..., 3, 3); t (..., 3)."""
     return s[..., None, None] * (pts @ jnp.swapaxes(R, -1, -2)) + t[..., None, :]

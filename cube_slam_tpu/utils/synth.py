@@ -42,15 +42,77 @@ def value_noise_texture(size=1024, octaves=5, seed=0, contrast=1.0):
 
 class RoomScene:
     """Ground plane z=0 + back wall y=wall_y + side walls x=+-half_x,
-    each with its own texture. World units meters; textures tile every
+    each with its own texture; optionally an axis-aligned textured box
+    sitting on the floor (a synthetic cuboid-SLAM target with exact
+    ground-truth pose/scale). World units meters; textures tile every
     `tex_scale` meters."""
 
-    def __init__(self, wall_y=6.0, half_x=4.0, height=3.0, tex_scale=4.0, seed=0):
+    def __init__(self, wall_y=6.0, half_x=4.0, height=3.0, tex_scale=4.0, seed=0,
+                 box_center=None, box_half=None, box_yaw=0.0):
         self.wall_y = wall_y
         self.half_x = half_x
         self.height = height
         self.tex_scale = tex_scale
         self.tex = [value_noise_texture(seed=seed + i) for i in range(4)]
+        self.box_center = None
+        if box_center is not None:
+            self.box_center = np.asarray(box_center, dtype=np.float64)
+            self.box_half = np.asarray(box_half, dtype=np.float64)
+            self.box_yaw = float(box_yaw)
+            c, s = np.cos(self.box_yaw), np.sin(self.box_yaw)
+            self.box_R = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+            # darker, high-contrast texture so the box pops against the room
+            self.box_tex = value_noise_texture(seed=seed + 10) * 0.55
+
+    def box_pose_scale(self):
+        """Ground-truth cuboid (pose 4x4 object->world, half scale 3)."""
+        T = np.eye(4)
+        T[:3, :3] = self.box_R
+        T[:3, 3] = self.box_center
+        return T, self.box_half.copy()
+
+    def box_bbox_2d(self, Twc, K, wh=(640, 480)):
+        """Ground-truth 2D bounding box [x y w h] of the box's projected
+        corners (the synthetic stand-in for the YOLO detections)."""
+        corners = np.array(
+            [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+            dtype=np.float64,
+        ) * self.box_half
+        cw = corners @ self.box_R.T + self.box_center
+        Tcw = np.linalg.inv(Twc)
+        cc = cw @ Tcw[:3, :3].T + Tcw[:3, 3]
+        if (cc[:, 2] <= 0.1).any():
+            return None
+        uv = cc @ np.asarray(K).T
+        uv = uv[:, :2] / uv[:, 2:3]
+        x1 = max(0.0, uv[:, 0].min())
+        y1 = max(0.0, uv[:, 1].min())
+        x2 = min(wh[0] - 1.0, uv[:, 0].max())
+        y2 = min(wh[1] - 1.0, uv[:, 1].max())
+        if x2 - x1 < 20 or y2 - y1 < 20:
+            return None
+        return np.array([x1, y1, x2 - x1, y2 - y1])
+
+    def _box_hits(self, c, rays):
+        """Ray-box intersection in the box frame (slab method). Returns
+        (t (H, W), uv-texture (H, W, 2), hit mask)."""
+        Rb = self.box_R
+        oc = (c - self.box_center) @ Rb  # origin in box frame
+        rd = rays @ Rb                    # directions in box frame
+        h = self.box_half
+        with np.errstate(divide="ignore", invalid="ignore"):
+            inv = 1.0 / rd
+        t1 = (-h - oc) * inv
+        t2 = (h - oc) * inv
+        tmin = np.minimum(t1, t2).max(axis=-1)
+        tmax = np.maximum(t1, t2).min(axis=-1)
+        hit = (tmax > np.maximum(tmin, 0.05)) & np.isfinite(tmin)
+        t = np.where(hit, tmin, np.inf)
+        P = oc[None, None, :] + t[..., None] * rd  # box-frame hit points
+        # texture coords: unwrap by dominant face axis
+        u = P[..., 0] + 2.0 * P[..., 2]
+        v = P[..., 1] + 2.0 * P[..., 2]
+        return t, np.stack([u, v], axis=-1), hit
 
     def _sample(self, tex, u, v):
         size = tex.shape[0]
@@ -106,12 +168,21 @@ class RoomScene:
                 vals = self._sample(self.tex[ti], u[hit], v[hit])
                 img[hit] = vals
                 best_t[hit] = t[hit]
+
+        if self.box_center is not None:
+            tb, uvb, hitb = self._box_hits(c, rays)
+            occ = hitb & (tb < best_t)
+            if occ.any():
+                vals = self._sample(self.box_tex, uvb[..., 0][occ], uvb[..., 1][occ])
+                img[occ] = vals
+                best_t[occ] = tb[occ]
         return img
 
 
-def camera_path(n_frames, kind="arc", seed=0):
+def camera_path(n_frames, kind="arc", seed=0, target=None):
     """Smooth camera trajectory inside the room, looking toward the back
-    wall. Returns (N, 4, 4) Twc (camera x right, y down, z forward)."""
+    wall (or at `target` when kind="orbit"). Returns (N, 4, 4) Twc
+    (camera x right, y down, z forward)."""
     poses = []
     for i in range(n_frames):
         s = i / max(n_frames - 1, 1)
@@ -120,11 +191,18 @@ def camera_path(n_frames, kind="arc", seed=0):
             y = 1.0 + 0.8 * np.sin(np.pi * s)
             z = 1.4 + 0.1 * np.sin(2 * np.pi * s)
             yaw_look = 0.25 * (s - 0.5)  # slight look rotation
+        elif kind == "orbit":
+            x = -1.2 + 2.4 * s
+            y = 0.4 + 0.5 * np.sin(np.pi * s)
+            z = 1.2
         else:  # forward
             x, y, z = 0.0, 0.5 + 3.0 * s, 1.4
             yaw_look = 0.0
         eye = np.array([x, y, z])
-        f = np.array([np.sin(yaw_look), np.cos(yaw_look), -0.05])
+        if kind == "orbit" and target is not None:
+            f = np.asarray(target, dtype=np.float64) - eye
+        else:
+            f = np.array([np.sin(yaw_look), np.cos(yaw_look), -0.05])
         f = f / np.linalg.norm(f)
         xr = np.cross(f, np.array([0.0, 0.0, 1.0]))
         xr /= np.linalg.norm(xr)

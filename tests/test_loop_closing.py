@@ -139,3 +139,37 @@ def test_sim3_pose_graph_closes_loop():
     gap0 = rel_true @ est_tcw[n - 1] @ np.linalg.inv(est_tcw[0])
     gap0_err = np.linalg.norm(np.asarray(geo.se3_log(jnp.asarray(gap0.astype(np.float32)))))
     assert gap_err < 0.25 * gap0_err, f"loop not closed: {gap_err} vs {gap0_err}"
+
+
+def test_optimize_sim3_relative():
+    """OptimizeSim3 analog: refine a perturbed relative Sim3 using two-way
+    reprojections of matched points."""
+    rng = np.random.default_rng(5)
+    n = 60
+    pts1 = np.stack([rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n),
+                     rng.uniform(3, 8, n)], axis=1).astype(np.float32)
+    s_true = 1.3
+    R_true = np.asarray(geo.so3_exp(jnp.asarray([0.05, -0.2, 0.1], dtype=jnp.float32)))
+    t_true = np.array([0.4, -0.1, 0.6], dtype=np.float32)
+    pts2 = (s_true * pts1 @ R_true.T + t_true).astype(np.float32)
+
+    def project(pc):
+        uv = pc @ K.T
+        return uv[:, :2] / uv[:, 2:3]
+
+    uv1 = project(pts1).astype(np.float32)
+    uv2 = project(pts2).astype(np.float32)
+
+    s0 = jnp.asarray(1.0)
+    R0 = jnp.asarray(R_true @ np.asarray(
+        geo.so3_exp(jnp.asarray([0.03, 0.02, -0.04], dtype=jnp.float32))))
+    t0 = jnp.asarray(t_true + np.array([0.1, -0.05, 0.08], dtype=np.float32))
+    s, R, t, inlier, n_in = sim3.optimize_sim3_relative(
+        s0, R0, t0, jnp.asarray(pts1), jnp.asarray(pts2),
+        jnp.asarray(uv1), jnp.asarray(uv2), jnp.asarray(K),
+        jnp.ones(n, dtype=bool), num_iters=15,
+    )
+    assert int(n_in) > 0.9 * n
+    np.testing.assert_allclose(float(s), s_true, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(R), R_true, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(t), t_true, atol=5e-3)
