@@ -27,7 +27,6 @@ relative to measurements, the classic Schur setting).
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, NamedTuple
 
 import jax

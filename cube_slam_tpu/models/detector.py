@@ -32,7 +32,7 @@ then a top-k over the combined skew-penalized score
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import NamedTuple
 
 import jax

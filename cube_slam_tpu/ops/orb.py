@@ -23,7 +23,6 @@ is a fixed-capacity keypoint set (padded, masked).
 
 from __future__ import annotations
 
-import functools
 import math
 
 import jax

@@ -108,8 +108,6 @@ def verify_loop_sim3(map_state, kf_a, kf_b, fix_scale=False, min_inliers=20, see
     pa = m.mp_pos[mp_a[sel_a[good]]]
     pb = m.mp_pos[mp_b[sel_b[idx[good]]]]
     N = len(pa)
-    from .initializer import make_sample_indices  # reuse host RNG helper
-
     samples = np.stack([
         np.random.default_rng(seed + i).choice(N, 3, replace=False) for i in range(128)
     ]).astype(np.int32)

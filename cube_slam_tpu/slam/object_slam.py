@@ -16,7 +16,7 @@ main_obj.cpp:476-497) or from the live TPU detector (models/detector.py).
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

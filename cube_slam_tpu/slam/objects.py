@@ -17,7 +17,7 @@ Re-design of the object machinery threaded through Tracking.cc:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

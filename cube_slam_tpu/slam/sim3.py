@@ -13,7 +13,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def horn_sim3(p1, p2, weights=None, fix_scale=False):

@@ -12,8 +12,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..utils import np_geometry as np_geo
-
 # 12 cuboid wireframe edges over the struct corner order
 # (bottom 1-4 = idx 0-3, top 5-8 = idx 4-7)
 CUBOID_EDGES = [
