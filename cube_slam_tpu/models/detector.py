@@ -523,6 +523,27 @@ def _lattice_one_bh(strong, weak, bh, K, invK, Twc_raw, cam_yaw,
     )
 
 
+def unpack_bh(packA, packTop, packLines, packYaw, packRP):
+    """Expand the 5 packed transfer arrays into the per-(bbox, height) input
+    dict consumed by the lattice kernel. Packing exists purely to minimize
+    host->device transfer count (each upload over a tunneled TPU costs
+    fixed latency)."""
+    return {
+        "left_x": packA[..., 0], "top_y": packA[..., 1],
+        "right_x": packA[..., 2], "down_y_expan": packA[..., 3],
+        "expan_lt": packA[..., 4:6], "expan_rb": packA[..., 6:8],
+        "diag": packA[..., 8], "down_expand": packA[..., 9],
+        "config_mask": packA[..., 10:12] > 0.5,
+        "bh_mask": packA[..., 12] > 0.5,
+        "top_pts": packTop[..., :2], "top_mask": packTop[..., 2] > 0.5,
+        "line_angles": packLines[..., 0], "line_mids": packLines[..., 1:3],
+        "line_mask": packLines[..., 3] > 0.5,
+        "yaws": packYaw[..., 0], "yaw_mask": packYaw[..., 1] > 0.5,
+        "rolls": packRP[..., 0], "pitchs": packRP[..., 1],
+        "rp_mask": packRP[..., 2] > 0.5,
+    }
+
+
 @functools.partial(jax.jit, static_argnames=("sample_roll_pitch", "top_k"))
 def detect_lattice_batch(gray, bh_batch, K, invK, Twc_raw, cam_yaw,
                          sample_roll_pitch: bool, top_k: int,
@@ -531,10 +552,13 @@ def detect_lattice_batch(gray, bh_batch, K, invK, Twc_raw, cam_yaw,
     all (bbox, height) samples, then per-bbox top-k over the skew-penalized
     combined score (box_proposal_detail.cpp:517-536).
 
-    bh_batch: dict of stacked per-(bbox,height) inputs with leading dim
-    (NB, NH). Returns (LatticeResult reshaped (NB, NH*L), topk indices
-    (NB, top_k), topk score (NB, top_k), topk valid (NB, top_k)).
+    bh_batch: either a dict of stacked per-(bbox,height) inputs with leading
+    dims (NB, NH) or a tuple of the 5 packed arrays (see unpack_bh).
+    Returns (LatticeResult reshaped (NB, NH*L), topk indices, topk score,
+    topk valid, packed top-k fields (NB, top_k, 33)).
     """
+    if isinstance(bh_batch, (tuple, list)):
+        bh_batch = unpack_bh(*bh_batch)
     strong, weak = im_ops.canny_nms(gray)
 
     NB, NH = bh_batch["left_x"].shape
@@ -778,16 +802,44 @@ class CuboidDetector:
                 row.append(d)
             bh_list.append(row)
 
-        bh_batch = {
-            k: np.stack([[bh_list[b][h][k] for h in range(NH)] for b in range(num_obj)])
-            for k in bh_list[0][0]
-        }
+        # pack the ~20 per-bh fields into 5 arrays: each host->device upload
+        # over a tunneled TPU costs fixed latency, so transfer count matters
+        NT = self.max_top_samples
+        L = self.max_lines
+        NY = self.num_yaw_pad
+        NRP = len(bh_list[0][0]["rolls"])
+        packA = np.zeros((num_obj, NH, 13), dtype=np.float32)
+        packTop = np.zeros((num_obj, NH, NT, 3), dtype=np.float32)
+        packLines = np.zeros((num_obj, NH, L, 4), dtype=np.float32)
+        packYaw = np.zeros((num_obj, NH, NY, 2), dtype=np.float32)
+        packRP = np.zeros((num_obj, NH, NRP, 3), dtype=np.float32)
+        for b in range(num_obj):
+            for h in range(NH):
+                d = bh_list[b][h]
+                packA[b, h, 0:4] = [d["left_x"], d["top_y"], d["right_x"], d["down_y_expan"]]
+                packA[b, h, 4:6] = d["expan_lt"]
+                packA[b, h, 6:8] = d["expan_rb"]
+                packA[b, h, 8] = d["diag"]
+                packA[b, h, 9] = d["down_expand"]
+                packA[b, h, 10:12] = d["config_mask"]
+                packA[b, h, 12] = d["bh_mask"]
+                packTop[b, h, :, :2] = d["top_pts"]
+                packTop[b, h, :, 2] = d["top_mask"]
+                packLines[b, h, :, 0] = d["line_angles"]
+                packLines[b, h, :, 1:3] = d["line_mids"]
+                packLines[b, h, :, 3] = d["line_mask"]
+                packYaw[b, h, :, 0] = d["yaws"]
+                packYaw[b, h, :, 1] = d["yaw_mask"]
+                packRP[b, h, :, 0] = d["rolls"]
+                packRP[b, h, :, 1] = d["pitchs"]
+                packRP[b, h, :, 2] = d["rp_mask"]
 
         K32 = jnp.asarray(self.K, dtype=jnp.float32)
         invK = jnp.asarray(np.linalg.inv(self.K), dtype=jnp.float32)
         kernel_args = dict(
             gray=jnp.asarray(gray, dtype=jnp.float32),
-            bh_batch=jax.tree.map(jnp.asarray, bh_batch),
+            bh_batch=(jnp.asarray(packA), jnp.asarray(packTop), jnp.asarray(packLines),
+                      jnp.asarray(packYaw), jnp.asarray(packRP)),
             K=K32, invK=invK, Twc_raw=jnp.asarray(Twc, dtype=jnp.float32),
             cam_yaw=jnp.float32(yaw),
             sample_roll_pitch=self.whether_sample_cam_roll_pitch,
