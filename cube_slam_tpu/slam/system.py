@@ -467,6 +467,7 @@ class MonocularTracker:
         fixed = [int(i) for i in kf_all if i not in local]
         # cap fixed ring size for the BA problem
         self._local_ba(local, fixed=fixed[: cfg.local_ba_kfs])
+        self._cull_keyframes()
         self._refresh_mp_geometry(self.map.mp_ids())
 
         # --- loop closing (LoopClosing::Run, gated like enable_loop_closing)
@@ -632,7 +633,7 @@ class MonocularTracker:
             m.mp_min_dist[mp] = m.mp_max_dist[mp] / (trk.SCALE_FACTOR ** self.cfg.n_levels) / 1.2
 
     # ------------------------------------------------------------------
-    def _local_ba(self, local_kfs, fixed):
+    def _local_ba(self, local_kfs, fixed, kf_cap=16, pt_cap=2048):
         cfg = self.cfg
         m = self.map
         kfs = list(dict.fromkeys(list(local_kfs) + list(fixed)))
@@ -663,8 +664,8 @@ class MonocularTracker:
             obs_si[n] = 1.0 / (trk.SCALE_FACTOR ** m.kf_kp_level[kf_idx[n], kp_idx[n]])
             obs_valid[n] = True
 
-        KF_CAP = 16
-        PT_CAP = 2048
+        KF_CAP = kf_cap
+        PT_CAP = pt_cap
         nk = min(len(kfs), KF_CAP)
         npt = min(len(mp_set), PT_CAP)
         kf_tcw = np.tile(np.eye(4, dtype=np.float32), (KF_CAP, 1, 1))
@@ -699,6 +700,41 @@ class MonocularTracker:
         for n in range(n_e):
             if obs_valid[n] and not inl[n]:
                 m.kf_kp_mp[kf_idx[n], kp_idx[n]] = -1
+
+    def global_ba(self, num_iters=10):
+        """GlobalBundleAdjustemnt (Optimizer.cc:57-64): full BA over every
+        valid keyframe and map point (first KF fixed). Used after loop
+        closure (LoopClosing::RunGlobalBundleAdjustment) or on demand."""
+        kfs = [int(k) for k in self.map.kf_ids()]
+        if len(kfs) < 2:
+            return
+        oldest = min(kfs)
+        self._local_ba(kfs, fixed=[oldest], kf_cap=max(16, self.cfg.max_kf),
+                       pt_cap=max(2048, min(self.cfg.max_mp, 4096)))
+
+    def _cull_keyframes(self, keep_latest=2, redundancy=0.9):
+        """KeyFrameCulling (LocalMapping.cc:833-966): a keyframe is redundant
+        when >=90% of its map points are observed by at least 3 other
+        keyframes; redundant KFs are removed (latest few always kept)."""
+        m = self.map
+        kfs = sorted(int(k) for k in m.kf_ids())
+        if len(kfs) <= keep_latest + 2:
+            return 0
+        removed = 0
+        for k in kfs[1:-keep_latest]:  # never the first or the latest
+            mp = m.kf_kp_mp[k]
+            ids = mp[mp >= 0]
+            ids = ids[m.mp_valid[ids]]
+            if len(ids) == 0:
+                continue
+            # observation counts from other KFs
+            others = m.mp_nobs[ids] - 1
+            if (others >= 3).mean() >= redundancy:
+                m.kf_kp_mp[k][:] = -1
+                m.mp_nobs[ids] -= 1
+                m.kf_valid[k] = False
+                removed += 1
+        return removed
 
     # ------------------------------------------------------------------
     def poses(self):
