@@ -742,6 +742,121 @@ class MonocularTracker:
         return self.trajectory
 
 
+class RgbdTracker(MonocularTracker):
+    """TrackRGBD-equivalent: depth measurements replace two-view bootstrap
+    and triangulation (StereoInitialization, Tracking.cc:783-850; depth-based
+    map-point creation in CreateNewKeyFrame). Metric scale is inherent."""
+
+    def __init__(self, K, img_wh, config=None, depth_max=8.0):
+        super().__init__(K, img_wh, config)
+        self.depth_max = depth_max
+        self._pending_depth = None
+
+    def track(self, gray, depth=None):
+        self._pending_depth = depth
+        return super().track(gray)
+
+    def _kp_depths(self, feats, depth_img):
+        xi = np.clip(feats.xy[:, 0].astype(int), 0, depth_img.shape[1] - 1)
+        yi = np.clip(feats.xy[:, 1].astype(int), 0, depth_img.shape[0] - 1)
+        d = depth_img[yi, xi]
+        return np.where(feats.valid & (d > 0.1) & (d < self.depth_max), d, 0.0)
+
+    def _backproject(self, feats, d, Tcw):
+        Kinv = np.linalg.inv(self.K.astype(np.float64))
+        uv1 = np.concatenate([feats.xy, np.ones((len(feats.xy), 1))], axis=1)
+        pc = (uv1 @ Kinv.T) * d[:, None]
+        Twc = np_geo.inv_T(Tcw.astype(np.float64))
+        return (pc @ Twc[:3, :3].T + Twc[:3, 3]).astype(np.float32)
+
+    def _try_initialize(self, feats):
+        if self._pending_depth is None:
+            return False
+        d = self._kp_depths(feats, self._pending_depth)
+        good = d > 0
+        if good.sum() < 50:
+            return False
+        kf0 = self._insert_keyframe_raw(feats, np.eye(4, dtype=np.float32), self.frame_id)
+        pts = self._backproject(feats, d, np.eye(4, dtype=np.float32))
+        sel = np.where(good)[0]
+        ids = self.map.alloc_mps(len(sel))
+        m = self.map
+        m.mp_pos[ids] = pts[sel]
+        m.mp_valid[ids] = True
+        m.mp_desc[ids] = feats.desc[sel]
+        m.mp_level[ids] = feats.level[sel]
+        m.mp_first_kf[ids] = kf0
+        m.mp_nobs[ids] = 1
+        m.kf_kp_mp[kf0, sel] = ids
+        self._refresh_mp_geometry(ids)
+        self.last_Tcw = np.eye(4, dtype=np.float32)
+        self.velocity = np.eye(4, dtype=np.float32)
+        self.ref_kf = kf0
+        self.last_kf_frame_id = self.frame_id
+        feats.mp = m.kf_kp_mp[kf0].copy()
+        self.last_frame = feats
+        return True
+
+    def _create_keyframe(self, feats):
+        super()._create_keyframe(feats)
+        # add depth-backed points for still-unmatched keypoints
+        if self._pending_depth is None:
+            return
+        k = self.ref_kf
+        m = self.map
+        d = self._kp_depths(feats, self._pending_depth)
+        free = (m.kf_kp_mp[k, : len(feats.valid)] < 0) & (d > 0)
+        sel = np.where(free)[0]
+        if len(sel) == 0:
+            return
+        try:
+            ids = m.alloc_mps(len(sel))
+        except RuntimeError:
+            return
+        pts = self._backproject(feats, d, m.kf_tcw[k])
+        m.mp_pos[ids] = pts[sel]
+        m.mp_valid[ids] = True
+        m.mp_desc[ids] = feats.desc[sel]
+        m.mp_level[ids] = feats.level[sel]
+        m.mp_first_kf[ids] = k
+        m.mp_nobs[ids] = 1
+        m.kf_kp_mp[k, sel] = ids
+        self._refresh_mp_geometry(ids)
+
+
+class StereoTracker(RgbdTracker):
+    """TrackStereo-equivalent: rectified left/right pairs; per-keypoint
+    depth via batched row-band Hamming matching (ops/stereo.py, standing in
+    for Frame::ComputeStereoMatches)."""
+
+    def __init__(self, K, img_wh, baseline, config=None, depth_max=20.0):
+        super().__init__(K, img_wh, config, depth_max=depth_max)
+        self.baseline = float(baseline)
+
+    def track(self, gray_left, gray_right=None):
+        from ..ops import stereo as stereo_ops
+
+        feats_l = self._extract(gray_left)
+        feats_r = self._extract(gray_right)
+        depth, disp, matched = stereo_ops.stereo_match_keypoints(
+            jnp.asarray(feats_l.xy), jnp.asarray(feats_l.desc),
+            jnp.asarray(feats_l.level), jnp.asarray(feats_l.valid),
+            jnp.asarray(feats_r.xy), jnp.asarray(feats_r.desc),
+            jnp.asarray(feats_r.level), jnp.asarray(feats_r.valid),
+            jnp.float32(self.K[0, 0]), jnp.float32(self.baseline),
+        )
+        # synthesize a sparse depth image at keypoint locations
+        H = int(self.img_wh[1])
+        W = int(self.img_wh[0])
+        depth_img = np.zeros((H, W), dtype=np.float32)
+        dnp = np.array(depth)
+        xi = np.clip(feats_l.xy[:, 0].astype(int), 0, W - 1)
+        yi = np.clip(feats_l.xy[:, 1].astype(int), 0, H - 1)
+        depth_img[yi, xi] = dnp
+        self._pending_depth = depth_img
+        return MonocularTracker.track(self, gray_left)
+
+
 class ObjectSlamTracker(MonocularTracker):
     """Monocular tracker with cuboid object landmarks — the orb_object_slam
     configuration (static objects): per new keyframe, run the TPU cuboid

@@ -127,9 +127,11 @@ class RoomScene:
         return (tex[v0, u0] * (1 - fu) * (1 - fv) + tex[v0, u1] * fu * (1 - fv)
                 + tex[v1, u0] * (1 - fu) * fv + tex[v1, u1] * fu * fv)
 
-    def render(self, Twc, K, wh=(640, 480)):
+    def render(self, Twc, K, wh=(640, 480), return_depth=False):
         """Inverse ray casting: for each pixel, intersect the camera ray with
-        the room planes, take the nearest hit, sample its texture."""
+        the room planes, take the nearest hit, sample its texture. With
+        return_depth, also returns the z-depth map (camera-frame depth —
+        the ray parameter t, since K^-1 p has unit z)."""
         W, H = wh
         Rwc = Twc[:3, :3]
         c = Twc[:3, 3]
@@ -176,6 +178,9 @@ class RoomScene:
                 vals = self._sample(self.box_tex, uvb[..., 0][occ], uvb[..., 1][occ])
                 img[occ] = vals
                 best_t[occ] = tb[occ]
+        if return_depth:
+            depth = np.where(np.isfinite(best_t), best_t, 0.0).astype(np.float32)
+            return img, depth
         return img
 
 
