@@ -140,11 +140,16 @@ def local_ba_points(
     obs_valid,     # (E,) bool
     kf_fixed,      # (Kf,) bool — fixed camera vertices
     pt_valid,      # (P,) bool
+    obs_z=None,    # (E,) optional metric depth measurements (0 = none)
+    obs_z_si=None, # (E,) sqrt-info of the depth residual (0 disables)
     num_iters: int = 5,
     n_kf: int = 0,
     n_pt: int = 0,
 ):
-    """Joint camera-point BA, monocular reprojection edges only.
+    """Joint camera-point BA: monocular reprojection edges, plus an
+    optional per-edge DEPTH residual row (z_pred - z_meas) * z_si — the
+    RGBD/stereo information channel (EdgeStereoSE3ProjectXYZ analog,
+    types_six_dof_expmap.h).
 
     Returns (kf_tcw, pts, chi2_final, edge_inlier). One LM iteration:
     per-edge Jacobians (vmapped jacfwd over the 9 local dofs), blocked
@@ -153,19 +158,25 @@ def local_ba_points(
     Kf = kf_tcw.shape[0]
     P = pts.shape[0]
     E = obs_kf.shape[0]
+    if obs_z is None:
+        obs_z = jnp.zeros((E,), dtype=jnp.float32)
+    if obs_z_si is None:
+        obs_z_si = jnp.zeros((E,), dtype=jnp.float32)
 
     kf_free = (~kf_fixed) & jnp.ones((Kf,), dtype=bool)
     cam_mask = kf_free.astype(jnp.float32)  # (Kf,)
     pt_mask = pt_valid.astype(jnp.float32)
 
-    def edge_residual(Tcw, pt, uv, si):
-        uv_p, _ = _project(Tcw, K, pt)
-        return (uv_p - uv) * si
+    def edge_residual(Tcw, pt, uv, si, z, z_si):
+        uv_p, z_p = _project(Tcw, K, pt)
+        r_uv = (uv_p - uv) * si
+        r_z = (z_p - z) * z_si
+        return jnp.concatenate([r_uv, r_z[None]])
 
     def all_residuals(kf_tcw, pts):
         T_e = kf_tcw[obs_kf]
         p_e = pts[obs_pt]
-        r = jax.vmap(edge_residual)(T_e, p_e, obs_uv, obs_sqrt_info)  # (E, 2)
+        r = jax.vmap(edge_residual)(T_e, p_e, obs_uv, obs_sqrt_info, obs_z, obs_z_si)  # (E, 3)
         chi2 = jnp.sum(r * r, axis=-1)
         w = huber_weight(chi2)
         r = r * (w * obs_valid)[:, None]
@@ -180,9 +191,9 @@ def local_ba_points(
     def edge_jacobians(kf_tcw, pts):
         """Per-edge (r (2,), Jc (2,6), Jp (2,3)) at the zero local tangent."""
 
-        def local_r(dx, T, p, uv, si, w):
+        def local_r(dx, T, p, uv, si, z, z_si, w):
             T2 = geo.se3_exp(dx[:6]) @ T
-            return edge_residual(T2, p + dx[6:], uv, si) * w
+            return edge_residual(T2, p + dx[6:], uv, si, z, z_si) * w
 
         T_e = kf_tcw[obs_kf]
         p_e = pts[obs_pt]
@@ -190,10 +201,10 @@ def local_ba_points(
         # IRLS weight frozen at current iterate (see pose_optimization)
         w = lax.stop_gradient(huber_weight(chi2)) * obs_valid
         J = jax.vmap(
-            lambda T, p, uv, si, ww: jax.jacfwd(
-                lambda dx: local_r(dx, T, p, uv, si, ww)
+            lambda T, p, uv, si, z, z_si, ww: jax.jacfwd(
+                lambda dx: local_r(dx, T, p, uv, si, z, z_si, ww)
             )(jnp.zeros(9))
-        )(T_e, p_e, obs_uv, obs_sqrt_info, w)  # (E, 2, 9)
+        )(T_e, p_e, obs_uv, obs_sqrt_info, obs_z, obs_z_si, w)  # (E, 3, 9)
         return r, J[..., :6], J[..., 6:]
 
     def lm_step(kf_tcw, pts, lam):
@@ -263,5 +274,6 @@ def local_ba_points(
         0, num_iters, body, (kf_tcw, pts, 1e-4, cost0)
     )
     _, chi2 = all_residuals(kf_tcw, pts)
-    edge_inlier = obs_valid & (chi2 <= CHI2_MONO)
+    chi2_th = jnp.where(obs_z_si > 0, 7.815, CHI2_MONO)  # 3-dof vs 2-dof
+    edge_inlier = obs_valid & (chi2 <= chi2_th)
     return kf_tcw, pts, cost, edge_inlier

@@ -35,6 +35,8 @@ class MapState:
         self.kf_kp_desc = np.zeros((K, N, 8), dtype=np.uint32)
         self.kf_kp_valid = np.zeros((K, N), dtype=bool)
         self.kf_kp_mp = np.full((K, N), -1, dtype=np.int32)
+        # depth measurement per keypoint (RGBD/stereo paths; 0 = none)
+        self.kf_kp_depth = np.zeros((K, N), dtype=np.float32)
 
         self.mp_pos = np.zeros((P, 3), dtype=np.float32)
         self.mp_valid = np.zeros(P, dtype=bool)

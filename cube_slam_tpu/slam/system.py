@@ -657,12 +657,18 @@ class MonocularTracker:
         obs_uv = np.zeros((E, 2), dtype=np.float32)
         obs_si = np.ones(E, dtype=np.float32)
         obs_valid = np.zeros(E, dtype=bool)
+        obs_z = np.zeros(E, dtype=np.float32)
+        obs_z_si = np.zeros(E, dtype=np.float32)
         for n in range(n_e):
             obs_kf[n] = kf_map[int(kf_idx[n])]
             obs_pt[n] = mp_map[int(mp_idx[n])]
             obs_uv[n] = m.kf_kp_xy[kf_idx[n], kp_idx[n]]
             obs_si[n] = 1.0 / (trk.SCALE_FACTOR ** m.kf_kp_level[kf_idx[n], kp_idx[n]])
             obs_valid[n] = True
+            z = m.kf_kp_depth[kf_idx[n], kp_idx[n]]
+            if z > 0:
+                obs_z[n] = z
+                obs_z_si[n] = obs_si[n]
 
         KF_CAP = kf_cap
         PT_CAP = pt_cap
@@ -687,6 +693,7 @@ class MonocularTracker:
             jnp.asarray(obs_kf), jnp.asarray(obs_pt), jnp.asarray(obs_uv),
             jnp.asarray(obs_si), jnp.asarray(obs_valid),
             jnp.asarray(kf_fixed), jnp.asarray(pt_valid),
+            obs_z=jnp.asarray(obs_z), obs_z_si=jnp.asarray(obs_z_si),
             num_iters=cfg.local_ba_iters,
         )
         out_tcw = np.array(out_tcw)
@@ -777,6 +784,7 @@ class RgbdTracker(MonocularTracker):
         if good.sum() < 50:
             return False
         kf0 = self._insert_keyframe_raw(feats, np.eye(4, dtype=np.float32), self.frame_id)
+        self.map.kf_kp_depth[kf0, : len(d)] = d
         pts = self._backproject(feats, d, np.eye(4, dtype=np.float32))
         sel = np.where(good)[0]
         ids = self.map.alloc_mps(len(sel))
@@ -805,6 +813,7 @@ class RgbdTracker(MonocularTracker):
         k = self.ref_kf
         m = self.map
         d = self._kp_depths(feats, self._pending_depth)
+        m.kf_kp_depth[k, : len(d)] = d
         free = (m.kf_kp_mp[k, : len(feats.valid)] < 0) & (d > 0)
         sel = np.where(free)[0]
         if len(sel) == 0:

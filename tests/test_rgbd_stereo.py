@@ -36,9 +36,8 @@ def test_rgbd_tracker_metric():
     est_w = np.einsum("ij,njk->nik", G, est)
     d = est_w[:, :3, 3] - tru[:, :3, 3]
     ate = float(np.sqrt((d * d).sum(axis=1).mean()))
-    # local BA currently uses mono reprojection residuals only (no depth
-    # edges yet), so metric scale can drift slightly from the depth init
-    assert ate < 0.25, f"metric RGBD ATE too high: {ate}"
+    # depth residual rows in the BA anchor the metric scale
+    assert ate < 0.15, f"metric RGBD ATE too high: {ate}"
 
 
 def test_stereo_tracker_metric():
