@@ -45,6 +45,8 @@ def dynamic_object_ba(
     mo_obj, mo_k0, mo_k1, mo_valid,
     # masks
     kf_fixed, obj_kf_valid, obj_valid, pt_valid,
+    # camera-object bbox edges (ba_dyna_obj_cam, Optimizer.cc:2232): optional
+    bo_kf=None, bo_obj=None, bo_meas=None, bo_si=None, bo_valid=None,
     num_iters: int = 12,
     motion_weight: float = 1.0,
     inbox_weight: float = 1.0,
@@ -107,7 +109,19 @@ def dynamic_object_ba(
             cb.Cuboid(P1, obj_scale[mo_obj]),
             velocity[mo_obj], dt, motion_weight, mo_valid,
         )
-        return jnp.concatenate([r_dp.reshape(-1), r_box.reshape(-1), r_mo.reshape(-1)])
+        parts = [r_dp.reshape(-1), r_box.reshape(-1), r_mo.reshape(-1)]
+
+        # --- camera-object bbox edges (EdgeSE3CuboidFixScaleProj per-KF)
+        if bo_kf is not None:
+            T_b = kf_tcw[bo_kf]
+            P_b = obj_pose_kf[bo_obj, bo_kf]
+            cub_b = cb.Cuboid(P_b, obj_scale[bo_obj])
+            rect = cb.project_onto_image_bbox(cub_b, T_b, K)
+            r_bo = (rect - bo_meas) * bo_si[:, None]
+            chi2_b = jnp.sum(r_bo * r_bo, axis=-1)
+            wb = lax.stop_gradient(huber_weight(chi2_b, 30.0))
+            parts.append((r_bo * (wb * bo_valid)[:, None]).reshape(-1))
+        return jnp.concatenate(parts)
 
     cam_mask = jnp.repeat(~kf_fixed, 6)
     obj_mask = jnp.repeat((obj_valid[:, None] & obj_kf_valid).reshape(-1), 6)

@@ -70,11 +70,14 @@ def _lk_level(img0, img1, gx0, gy0, pts0, guess, iters=10):
     return jax.vmap(one)(pts0, guess)
 
 
-def pyr_lk(img0, img1, pts0, valid, n_levels=3, iters=10, max_err=25.0):
+def pyr_lk(img0, img1, pts0, valid, n_levels=3, iters=10, max_err=25.0,
+           init_flow=None):
     """Track pts0 (N, 2) from img0 to img1 through an n_levels pyramid.
 
-    Returns (pts1 (N, 2), status (N,) bool). Status fails on divergence
-    (patch SSD too high) or leaving the image."""
+    init_flow (N, 2) seeds the coarse level (the reference seeds KLT from
+    predicted object motion, ORBmatcher::SearchByTracking) — essential when
+    the true motion exceeds the pyramid capture range or the texture
+    aliases. Returns (pts1 (N, 2), status (N,) bool)."""
     img0 = jnp.asarray(img0, dtype=jnp.float32)
     img1 = jnp.asarray(img1, dtype=jnp.float32)
     pyr0 = [img0]
@@ -84,7 +87,10 @@ def pyr_lk(img0, img1, pts0, valid, n_levels=3, iters=10, max_err=25.0):
         pyr1.append(im_ops.pyr_down(pyr1[-1]))
 
     N = pts0.shape[0]
-    flow = jnp.zeros((N, 2), dtype=jnp.float32)
+    if init_flow is None:
+        flow = jnp.zeros((N, 2), dtype=jnp.float32)
+    else:
+        flow = jnp.asarray(init_flow, dtype=jnp.float32) / (2.0 ** (n_levels - 1))
     for lvl in range(n_levels - 1, -1, -1):
         s = 2.0**lvl
         g0x, g0y = _scharr(pyr0[lvl])

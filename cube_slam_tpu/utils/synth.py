@@ -64,6 +64,14 @@ class RoomScene:
             # darker, high-contrast texture so the box pops against the room
             self.box_tex = value_noise_texture(seed=seed + 10) * 0.55
 
+    def set_box_pose(self, center, yaw=None):
+        """Move the box (dynamic-object sequences). yaw optional."""
+        self.box_center = np.asarray(center, dtype=np.float64)
+        if yaw is not None:
+            self.box_yaw = float(yaw)
+            c, s = np.cos(self.box_yaw), np.sin(self.box_yaw)
+            self.box_R = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+
     def box_pose_scale(self):
         """Ground-truth cuboid (pose 4x4 object->world, half scale 3)."""
         T = np.eye(4)
@@ -127,11 +135,12 @@ class RoomScene:
         return (tex[v0, u0] * (1 - fu) * (1 - fv) + tex[v0, u1] * fu * (1 - fv)
                 + tex[v1, u0] * (1 - fu) * fv + tex[v1, u1] * fu * fv)
 
-    def render(self, Twc, K, wh=(640, 480), return_depth=False):
+    def render(self, Twc, K, wh=(640, 480), return_depth=False, return_mask=False):
         """Inverse ray casting: for each pixel, intersect the camera ray with
         the room planes, take the nearest hit, sample its texture. With
         return_depth, also returns the z-depth map (camera-frame depth —
-        the ray parameter t, since K^-1 p has unit z)."""
+        the ray parameter t, since K^-1 p has unit z); with return_mask,
+        the box instance mask (the synthetic objmask_img, Frame.cc:221)."""
         W, H = wh
         Rwc = Twc[:3, :3]
         c = Twc[:3, 3]
@@ -171,6 +180,7 @@ class RoomScene:
                 img[hit] = vals
                 best_t[hit] = t[hit]
 
+        box_mask = np.zeros_like(img, dtype=bool)
         if self.box_center is not None:
             tb, uvb, hitb = self._box_hits(c, rays)
             occ = hitb & (tb < best_t)
@@ -178,9 +188,14 @@ class RoomScene:
                 vals = self._sample(self.box_tex, uvb[..., 0][occ], uvb[..., 1][occ])
                 img[occ] = vals
                 best_t[occ] = tb[occ]
+            box_mask = occ
+        extra = []
         if return_depth:
-            depth = np.where(np.isfinite(best_t), best_t, 0.0).astype(np.float32)
-            return img, depth
+            extra.append(np.where(np.isfinite(best_t), best_t, 0.0).astype(np.float32))
+        if return_mask:
+            extra.append(box_mask)
+        if extra:
+            return (img, *extra)
         return img
 
 
