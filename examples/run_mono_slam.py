@@ -2,6 +2,13 @@
 """Full monocular (object) SLAM over the bundled cabinet sequence —
 the mono_tum / ros_mono equivalent entry point.
 
+NOTE: the bundled 58-frame cabinet set is keyframe-subsampled (~6 deg of
+orbit per frame) with strongly repetitive texture — far beyond what any
+frame-rate tracker (the reference's included, which ran on 30 fps rosbags)
+is designed to absorb, so expect sparse tracking here. For a quantitative
+end-to-end evaluation at video rate see
+examples/run_synthetic_object_slam.py.
+
   python examples/run_mono_slam.py [--objects] [--out DIR]
 """
 
