@@ -90,6 +90,14 @@ def lm_optimize(
     def body(i, state):
         params, lam, ni, chi2, hist = state
         r, J, g, H = build_normal_eqs(params)
+        # initial lambda on the first pass: tau * max diag(H) at the initial
+        # params (g2o computeLambdaInit). Computing it here — instead of with
+        # a second build_normal_eqs outside the loop — keeps ONE copy of the
+        # (expensive-to-compile) Jacobian graph in the program; H at i==0 is
+        # the same H the pre-loop evaluation would have produced.
+        lam0 = tau * jnp.max(jnp.diag(H) * mask_f)
+        lam0 = jnp.where(lam0 > 0, lam0, tau)
+        lam = jnp.where(i == 0, lam0, lam)
         dx = solve(H, g, lam)
         new_params = retract_fn(params, dx)
         new_chi2 = chi2_of(new_params)
@@ -110,14 +118,9 @@ def lm_optimize(
         return params_next, lam_next, ni_next, chi2_next, hist
 
     chi2_0 = chi2_of(params)
-    # initial lambda: tau * max diag(H) (g2o computeLambdaInit)
-    _, _, _, H0 = build_normal_eqs(params)
-    lam0 = tau * jnp.max(jnp.diag(H0) * mask_f)
-    lam0 = jnp.where(lam0 > 0, lam0, tau)
-
     hist0 = jnp.zeros((num_iters + 1,), dtype=jnp.float32).at[0].set(chi2_0)
     params, lam, _, chi2, hist = jax.lax.fori_loop(
-        0, num_iters, body, (params, lam0, 2.0, chi2_0, hist0)
+        0, num_iters, body, (params, jnp.float32(tau), 2.0, chi2_0, hist0)
     )
     return LMResult(params=params, chi2=chi2, chi2_history=hist, lam_final=lam)
 

@@ -36,19 +36,241 @@ HUBER_BBOX = 30.0
 HUBER_PT_OBJ = 0.5  # ~sqrt(chi2) scale of the point-in-box hinge
 
 
-def _robust(r, delta, valid):
-    """IRLS-whiten a residual row vector with a Huber kernel (frozen)."""
-    chi2 = jnp.sum(r * r, axis=-1)
-    e = jnp.sqrt(jnp.maximum(chi2, 1e-18))
-    w = jnp.where(e <= delta, 1.0, jnp.sqrt(delta / e))
-    return r * (lax.stop_gradient(w) * valid)[..., None]
-
-
 def _robust_cost(r, delta, valid):
     chi2 = jnp.sum(r * r, axis=-1)
     e = jnp.sqrt(jnp.maximum(chi2, 1e-18))
     rho = jnp.where(e <= delta, chi2, 2 * delta * e - delta * delta)
     return jnp.sum(rho * valid)
+
+
+# ---------------------------------------------------------------------------
+# Shared building blocks (used by the single-device solver below AND the
+# edge-sharded multi-chip solver in parallel/sharded_ba.py — the sharded
+# path assembles these same blocks from its LOCAL edge shard and psums them,
+# then runs the identical reduced solve replicated.)
+# ---------------------------------------------------------------------------
+
+
+def residual_families(state, K, obs_kf, obs_pt, obs_uv, obs_si, obs_valid,
+                      box_kf, box_obj, box_meas, box_si, box_valid,
+                      po_obj, po_pt, po_si, po_valid):
+    """Raw (un-robustified) residuals of the three edge families."""
+    kf_tcw, pts, obj_pose, obj_scale = state
+
+    def one_reproj(T, p, uv, si):
+        uv_p, _ = _project(T, K, p)
+        return (uv_p - uv) * si
+
+    r_r = jax.vmap(one_reproj)(kf_tcw[obs_kf], pts[obs_pt], obs_uv, obs_si)
+
+    cub_b = cb.Cuboid(obj_pose[box_obj], obj_scale[box_obj])
+    rect = cb.project_onto_image_bbox(cub_b, kf_tcw[box_kf], K)
+    r_b = (rect - box_meas) * box_si[:, None]
+
+    p_e = lax.stop_gradient(pts[po_pt])
+    cub_p = cb.Cuboid(obj_pose[po_obj], obj_scale[po_obj])
+    r_p = cb.point_boundary_error(cub_p, p_e[:, None, :])[:, 0, :] * po_si[:, None]
+    return r_r, r_b, r_p
+
+
+def total_robust_cost(state, K, obs_edges, box_edges, po_edges):
+    """Sum of robustified costs; additive over edges, so the sharded solver
+    psums per-device partial sums of this same function."""
+    (obs_kf, obs_pt, obs_uv, obs_si, obs_valid) = obs_edges
+    (box_kf, box_obj, box_meas, box_si, box_valid) = box_edges
+    (po_obj, po_pt, po_si, po_valid) = po_edges
+    r_r, r_b, r_p = residual_families(
+        state, K, obs_kf, obs_pt, obs_uv, obs_si, obs_valid,
+        box_kf, box_obj, box_meas, box_si, box_valid,
+        po_obj, po_pt, po_si, po_valid)
+    return (
+        _robust_cost(r_r, HUBER_MONO, obs_valid)
+        + _robust_cost(r_b, HUBER_BBOX, box_valid)
+        + _robust_cost(r_p, HUBER_PT_OBJ, po_valid)
+    )
+
+
+def assemble_normal_blocks(state, K, Kf, P, O,
+                           obs_edges, box_edges, po_edges):
+    """Per-edge Jacobians -> summed normal-equation blocks.
+
+    Returns (H_C, b_C, Hpp, bp, W): the camera+object super-block system
+    (D = Kf*6 + O*9), the point diagonal blocks, point gradient, and the
+    camera-point coupling W. All outputs are SUMS over the edges passed in,
+    so they psum across devices when edges are sharded.
+    """
+    (obs_kf, obs_pt, obs_uv, obs_si, obs_valid) = obs_edges
+    (box_kf, box_obj, box_meas, box_si, box_valid) = box_edges
+    (po_obj, po_pt, po_si, po_valid) = po_edges
+    kf_tcw, pts, obj_pose, obj_scale = state
+    D = Kf * 6 + O * 9
+
+    r_r_raw, r_b_raw, r_p_raw = residual_families(
+        state, K, obs_kf, obs_pt, obs_uv, obs_si, obs_valid,
+        box_kf, box_obj, box_meas, box_si, box_valid,
+        po_obj, po_pt, po_si, po_valid)
+
+    # --- reproj family: blocks wrt cam (2, 6) and point (2, 3)
+    def reproj_local(dx, T, p, uv, si, w):
+        T2 = geo.se3_exp(dx[:6]) @ T
+        uv_p, _ = _project(T2, K, p + dx[6:])
+        return (uv_p - uv) * si * w
+
+    chi2_r = jnp.sum(r_r_raw * r_r_raw, axis=-1)
+    w_r = lax.stop_gradient(huber_weight(chi2_r, HUBER_MONO)) * obs_valid
+    J_r = jax.vmap(
+        lambda T, p, uv, si, w: jax.jacfwd(
+            lambda dx: reproj_local(dx, T, p, uv, si, w)
+        )(jnp.zeros(9))
+    )(kf_tcw[obs_kf], pts[obs_pt], obs_uv, obs_si, w_r)
+    Jc_r = J_r[..., :6]
+    Jp_r = J_r[..., 6:]
+    rr_w = r_r_raw * w_r[:, None]
+
+    # --- bbox family: blocks wrt cam (4, 6) and object (4, 9)
+    def bbox_local(dx, T, opose, oscale, meas, si, w):
+        T2 = geo.se3_exp(dx[:6]) @ T
+        cub = cb.exp_update(cb.Cuboid(opose, oscale), dx[6:])
+        rect = cb.project_onto_image_bbox(cub, T2, K)
+        return (rect - meas) * si * w
+
+    chi2_b = jnp.sum(r_b_raw * r_b_raw, axis=-1)
+    w_b = lax.stop_gradient(huber_weight(chi2_b, HUBER_BBOX)) * box_valid
+    rb_w = r_b_raw * w_b[:, None]
+    J_b = jax.vmap(
+        lambda T, op, os_, meas, si, w: jax.jacfwd(
+            lambda dx: bbox_local(dx, T, op, os_, meas, si, w)
+        )(jnp.zeros(15))
+    )(kf_tcw[box_kf], obj_pose[box_obj], obj_scale[box_obj], box_meas, box_si, w_b)
+    Jc_b = J_b[..., :6]
+    Jo_b = J_b[..., 6:]
+
+    # --- point-object family: blocks wrt object (3, 9)
+    def po_local(dx, op, os_, p, si, w):
+        cub = cb.exp_update(cb.Cuboid(op, os_), dx)
+        err = cb.point_boundary_error(cub, p[None, :])[0]
+        return err * si * w
+
+    chi2_p = jnp.sum(r_p_raw * r_p_raw, axis=-1)
+    w_p = lax.stop_gradient(huber_weight(chi2_p, HUBER_PT_OBJ)) * po_valid
+    rp_w = r_p_raw * w_p[:, None]
+    J_p = jax.vmap(
+        lambda op, os_, p, si, w: jax.jacfwd(
+            lambda dx: po_local(dx, op, os_, p, si, w)
+        )(jnp.zeros(9))
+    )(obj_pose[po_obj], obj_scale[po_obj], lax.stop_gradient(pts[po_pt]), po_si, w_p)
+
+    # ---------------- assemble ----------------------------------------
+    H_C = jnp.zeros((D, D))
+    b_C = jnp.zeros((D,))
+
+    Hcc = jax.ops.segment_sum(
+        jnp.einsum("eai,eaj->eij", Jc_r, Jc_r), obs_kf, num_segments=Kf
+    )
+    Hpp = jax.ops.segment_sum(
+        jnp.einsum("eai,eaj->eij", Jp_r, Jp_r), obs_pt, num_segments=P
+    )
+    bc = jax.ops.segment_sum(jnp.einsum("eai,ea->ei", Jc_r, rr_w), obs_kf, num_segments=Kf)
+    bp = jax.ops.segment_sum(jnp.einsum("eai,ea->ei", Jp_r, rr_w), obs_pt, num_segments=P)
+    W = jax.ops.segment_sum(
+        jnp.einsum("eai,eaj->eij", Jc_r, Jp_r), obs_kf * P + obs_pt,
+        num_segments=Kf * P,
+    ).reshape(Kf, P, 6, 3)
+
+    idx6 = jnp.arange(Kf)
+    Hcc_dense = jnp.zeros((Kf * 6, Kf * 6))
+    Hcc_dense = Hcc_dense.at[
+        (idx6[:, None, None] * 6 + jnp.arange(6)[None, :, None]),
+        (idx6[:, None, None] * 6 + jnp.arange(6)[None, None, :]),
+    ].add(Hcc)
+    H_C = H_C.at[: Kf * 6, : Kf * 6].add(Hcc_dense)
+    b_C = b_C.at[: Kf * 6].add(bc.reshape(-1))
+
+    # bbox: cam & object blocks, incl. cross terms
+    Hcc_e = jnp.einsum("eai,eaj->eij", Jc_b, Jc_b)
+    Hoo_e = jnp.einsum("eai,eaj->eij", Jo_b, Jo_b)
+    Hco_e = jnp.einsum("eai,eaj->eij", Jc_b, Jo_b)
+    bc_e = jnp.einsum("eai,ea->ei", Jc_b, rb_w)
+    bo_e = jnp.einsum("eai,ea->ei", Jo_b, rb_w)
+    Hcc_s = jax.ops.segment_sum(Hcc_e, box_kf, num_segments=Kf)
+    Hoo_s = jax.ops.segment_sum(Hoo_e, box_obj, num_segments=O)
+    Hco_s = jax.ops.segment_sum(Hco_e, box_kf * O + box_obj, num_segments=Kf * O)
+    bc_s = jax.ops.segment_sum(bc_e, box_kf, num_segments=Kf)
+    bo_s = jax.ops.segment_sum(bo_e, box_obj, num_segments=O)
+
+    cam_rows = jnp.zeros((Kf * 6, Kf * 6)).at[
+        (jnp.arange(Kf)[:, None, None] * 6 + jnp.arange(6)[None, :, None]),
+        (jnp.arange(Kf)[:, None, None] * 6 + jnp.arange(6)[None, None, :]),
+    ].add(Hcc_s)
+    obj_rows = jnp.zeros((O * 9, O * 9)).at[
+        (jnp.arange(O)[:, None, None] * 9 + jnp.arange(9)[None, :, None]),
+        (jnp.arange(O)[:, None, None] * 9 + jnp.arange(9)[None, None, :]),
+    ].add(Hoo_s)
+    cross = Hco_s.reshape(Kf, O, 6, 9).transpose(0, 2, 1, 3).reshape(Kf * 6, O * 9)
+    H_C = H_C.at[: Kf * 6, : Kf * 6].add(cam_rows)
+    H_C = H_C.at[Kf * 6 :, Kf * 6 :].add(obj_rows)
+    H_C = H_C.at[: Kf * 6, Kf * 6 :].add(cross)
+    H_C = H_C.at[Kf * 6 :, : Kf * 6].add(cross.T)
+    b_C = b_C.at[: Kf * 6].add(bc_s.reshape(-1))
+    b_C = b_C.at[Kf * 6 :].add(bo_s.reshape(-1))
+
+    # point-object: object-only blocks
+    Hoo_p = jax.ops.segment_sum(
+        jnp.einsum("eai,eaj->eij", J_p, J_p), po_obj, num_segments=O
+    )
+    bo_p = jax.ops.segment_sum(jnp.einsum("eai,ea->ei", J_p, rp_w), po_obj, num_segments=O)
+    obj_rows_p = jnp.zeros((O * 9, O * 9)).at[
+        (jnp.arange(O)[:, None, None] * 9 + jnp.arange(9)[None, :, None]),
+        (jnp.arange(O)[:, None, None] * 9 + jnp.arange(9)[None, None, :]),
+    ].add(Hoo_p)
+    H_C = H_C.at[Kf * 6 :, Kf * 6 :].add(obj_rows_p)
+    b_C = b_C.at[Kf * 6 :].add(bo_p.reshape(-1))
+
+    return H_C, b_C, Hpp, bp, W
+
+
+def schur_reduce_solve(H_C, b_C, Hpp, bp, W, lam, C_mask, pt_mask, Kf, D):
+    """Schur-eliminate points, solve the reduced camera+object system, and
+    back-substitute point updates. Deterministic given summed blocks — the
+    sharded solver runs this replicated after psum."""
+    eye3 = jnp.eye(3)
+    Hpp_d = Hpp + (lam + 1e-6) * eye3 + (1.0 - pt_mask)[:, None, None] * eye3
+    Hpp_inv = jnp.linalg.inv(Hpp_d) * pt_mask[:, None, None]
+    Y = jnp.einsum("kpij,pjl->kpil", W, Hpp_inv)
+    S_cam = jnp.einsum("kpil,qpml->kqim", Y, W)  # (Kf, Kf, 6, 6)
+    S_cam_dense = S_cam.transpose(0, 2, 1, 3).reshape(Kf * 6, Kf * 6)
+    H_red = H_C.at[: Kf * 6, : Kf * 6].add(-S_cam_dense)
+    rhs = -b_C
+    rhs = rhs.at[: Kf * 6].add(jnp.einsum("kpil,pl->ki", Y, bp).reshape(-1))
+
+    A = H_red + lam * jnp.eye(D)
+    A = C_mask[:, None] * A * C_mask[None, :] + jnp.diag(1.0 - C_mask)
+    Lc, low = jax.scipy.linalg.cho_factor(A, lower=True)
+    dC = jax.scipy.linalg.cho_solve((Lc, low), rhs * C_mask) * C_mask
+
+    dc_cam = dC[: Kf * 6].reshape(Kf, 6)
+    WT_dc = jnp.einsum("kpij,ki->pj", W, dc_cam)
+    dp = jnp.einsum("pij,pj->pi", Hpp_inv, -bp - WT_dc) * pt_mask[:, None]
+    return dC, dp
+
+
+def retract_state(state, dC, dp, Kf, O):
+    kf_tcw, pts, obj_pose, obj_scale = state
+    dc = (dC[: Kf * 6]).reshape(Kf, 6)
+    do = (dC[Kf * 6 :]).reshape(O, 9)
+    new_tcw = geo.se3_exp(dc) @ kf_tcw
+    cub = cb.exp_update(cb.Cuboid(obj_pose, obj_scale), do)
+    return (new_tcw, pts + dp, cub.pose, cub.scale)
+
+
+def camera_object_mask(kf_fixed, obj_valid, obj_fix_scale, O):
+    cam_mask = jnp.repeat((~kf_fixed).astype(jnp.float32), 6)
+    scale_keep = jnp.concatenate(
+        [jnp.ones((O, 6)), jnp.where(obj_fix_scale[:, None], 0.0, 1.0).repeat(3, axis=1)],
+        axis=1,
+    )  # (O, 9)
+    obj_mask = (obj_valid[:, None].astype(jnp.float32) * scale_keep).reshape(-1)
+    return jnp.concatenate([cam_mask, obj_mask])
 
 
 @functools.partial(jax.jit, static_argnames=("num_iters",))
@@ -75,218 +297,20 @@ def local_ba_objects(
     O = obj_pose.shape[0]
     D = Kf * 6 + O * 9
 
-    cam_mask = jnp.repeat((~kf_fixed).astype(jnp.float32), 6)
-    scale_keep = jnp.concatenate(
-        [jnp.ones((O, 6)), jnp.where(obj_fix_scale[:, None], 0.0, 1.0).repeat(3, axis=1)],
-        axis=1,
-    )  # (O, 9)
-    obj_mask = (obj_valid[:, None].astype(jnp.float32) * scale_keep).reshape(-1)
-    C_mask = jnp.concatenate([cam_mask, obj_mask])
-
-    def unpack(state):
-        return state
-
-    def retract(state, dC, dp):
-        kf_tcw, pts, obj_pose, obj_scale = state
-        dc = (dC[: Kf * 6]).reshape(Kf, 6)
-        do = (dC[Kf * 6 :]).reshape(O, 9)
-        new_tcw = geo.se3_exp(dc) @ kf_tcw
-        cub = cb.exp_update(cb.Cuboid(obj_pose, obj_scale), do)
-        return (new_tcw, pts + dp, cub.pose, cub.scale)
-
-    # ---------------- residual families -------------------------------
-    def reproj_r(state):
-        kf_tcw, pts, _, _ = state
-        T_e = kf_tcw[obs_kf]
-        p_e = pts[obs_pt]
-
-        def one(T, p, uv, si):
-            uv_p, _ = _project(T, K, p)
-            return (uv_p - uv) * si
-
-        r = jax.vmap(one)(T_e, p_e, obs_uv, obs_si)
-        return _robust(r, HUBER_MONO, obs_valid), r
-
-    def bbox_r(state):
-        kf_tcw, _, obj_pose, obj_scale = state
-        T_e = kf_tcw[box_kf]
-        cub = cb.Cuboid(obj_pose[box_obj], obj_scale[box_obj])
-        rect = cb.project_onto_image_bbox(cub, T_e, K)  # (B, 4)
-        r = (rect - box_meas) * box_si[:, None]
-        return _robust(r, HUBER_BBOX, box_valid), r
-
-    def po_r(state):
-        _, pts, obj_pose, obj_scale = state
-        p_e = lax.stop_gradient(pts[po_pt])  # unary edge: points constant
-        cub = cb.Cuboid(obj_pose[po_obj], obj_scale[po_obj])
-        err = cb.point_boundary_error(cub, p_e[:, None, :])[:, 0, :]  # (Q, 3)
-        r = err * po_si[:, None]
-        return _robust(r, HUBER_PT_OBJ, po_valid), r
+    C_mask = camera_object_mask(kf_fixed, obj_valid, obj_fix_scale, O)
+    pt_mask = pt_valid.astype(jnp.float32)
+    obs_edges = (obs_kf, obs_pt, obs_uv, obs_si, obs_valid)
+    box_edges = (box_kf, box_obj, box_meas, box_si, box_valid)
+    po_edges = (po_obj, po_pt, po_si, po_valid)
 
     def total_cost(state):
-        _, rr = reproj_r(state)
-        _, rb = bbox_r(state)
-        _, rp = po_r(state)
-        return (
-            _robust_cost(rr, HUBER_MONO, obs_valid)
-            + _robust_cost(rb, HUBER_BBOX, box_valid)
-            + _robust_cost(rp, HUBER_PT_OBJ, po_valid)
-        )
+        return total_robust_cost(state, K, obs_edges, box_edges, po_edges)
 
-    # ---------------- one LM step -------------------------------------
     def lm_step(state, lam):
-        kf_tcw, pts, obj_pose, obj_scale = state
-
-        # --- reproj family: blocks wrt cam (2, 6) and point (2, 3)
-        def reproj_local(dx, T, p, uv, si, w):
-            T2 = geo.se3_exp(dx[:6]) @ T
-            uv_p, _ = _project(T2, K, p + dx[6:])
-            return (uv_p - uv) * si * w
-
-        r_r, raw = reproj_r(state)
-        chi2_r = jnp.sum(raw * raw, axis=-1)
-        w_r = lax.stop_gradient(huber_weight(chi2_r, HUBER_MONO)) * obs_valid
-        J_r = jax.vmap(
-            lambda T, p, uv, si, w: jax.jacfwd(
-                lambda dx: reproj_local(dx, T, p, uv, si, w)
-            )(jnp.zeros(9))
-        )(kf_tcw[obs_kf], pts[obs_pt], obs_uv, obs_si, w_r)
-        Jc_r = J_r[..., :6]
-        Jp_r = J_r[..., 6:]
-
-        # --- bbox family: blocks wrt cam (4, 6) and object (4, 9)
-        def bbox_local(dx, T, opose, oscale, meas, si, w):
-            T2 = geo.se3_exp(dx[:6]) @ T
-            cub = cb.exp_update(cb.Cuboid(opose, oscale), dx[6:])
-            rect = cb.project_onto_image_bbox(cub, T2, K)
-            return (rect - meas) * si * w
-
-        _, rawb = bbox_r(state)
-        chi2_b = jnp.sum(rawb * rawb, axis=-1)
-        w_b = lax.stop_gradient(huber_weight(chi2_b, HUBER_BBOX)) * box_valid
-        rb_w = rawb * w_b[:, None]  # rawb already carries box_si
-        J_b = jax.vmap(
-            lambda T, op, os_, meas, si, w: jax.jacfwd(
-                lambda dx: bbox_local(dx, T, op, os_, meas, si, w)
-            )(jnp.zeros(15))
-        )(kf_tcw[box_kf], obj_pose[box_obj], obj_scale[box_obj], box_meas, box_si, w_b)
-        Jc_b = J_b[..., :6]
-        Jo_b = J_b[..., 6:]
-
-        # --- point-object family: blocks wrt object (3, 9)
-        def po_local(dx, op, os_, p, si, w):
-            cub = cb.exp_update(cb.Cuboid(op, os_), dx)
-            err = cb.point_boundary_error(cub, p[None, :])[0]
-            return err * si * w
-
-        _, rawp = po_r(state)
-        chi2_p = jnp.sum(rawp * rawp, axis=-1)
-        w_p = lax.stop_gradient(huber_weight(chi2_p, HUBER_PT_OBJ)) * po_valid
-        J_p = jax.vmap(
-            lambda op, os_, p, si, w: jax.jacfwd(
-                lambda dx: po_local(dx, op, os_, p, si, w)
-            )(jnp.zeros(9))
-        )(obj_pose[po_obj], obj_scale[po_obj], lax.stop_gradient(pts[po_pt]), po_si, w_p)
-
-        # whitened residuals with weights (raw already carries sqrt-info)
-        rr_w = raw * w_r[:, None]
-        rp_w = rawp * w_p[:, None]
-
-        # ---------------- assemble normal equations --------------------
-        # C super-block = [cams (Kf*6) ; objects (O*9)]
-        H_C = jnp.zeros((D, D))
-        b_C = jnp.zeros((D,))
-
-        # reproj: cam diag + W + point blocks
-        Hcc = jax.ops.segment_sum(
-            jnp.einsum("eai,eaj->eij", Jc_r, Jc_r), obs_kf, num_segments=Kf
-        )
-        Hpp = jax.ops.segment_sum(
-            jnp.einsum("eai,eaj->eij", Jp_r, Jp_r), obs_pt, num_segments=P
-        )
-        bc = jax.ops.segment_sum(jnp.einsum("eai,ea->ei", Jc_r, rr_w), obs_kf, num_segments=Kf)
-        bp = jax.ops.segment_sum(jnp.einsum("eai,ea->ei", Jp_r, rr_w), obs_pt, num_segments=P)
-        W = jax.ops.segment_sum(
-            jnp.einsum("eai,eaj->eij", Jc_r, Jp_r), obs_kf * P + obs_pt,
-            num_segments=Kf * P,
-        ).reshape(Kf, P, 6, 3)
-
-        # scatter cam-diag blocks into H_C
-        idx6 = jnp.arange(Kf)
-        Hcc_dense = jnp.zeros((Kf * 6, Kf * 6))
-        Hcc_dense = Hcc_dense.at[
-            (idx6[:, None, None] * 6 + jnp.arange(6)[None, :, None]),
-            (idx6[:, None, None] * 6 + jnp.arange(6)[None, None, :]),
-        ].add(Hcc)
-        H_C = H_C.at[: Kf * 6, : Kf * 6].add(Hcc_dense)
-        b_C = b_C.at[: Kf * 6].add(bc.reshape(-1))
-
-        # bbox: cam & object blocks, incl. cross terms
-        def scatter_pair(H_C, b_C, Jc, Jo, r_w, kf_i, obj_i):
-            # per-edge outer products scattered into the dense C system
-            Hcc_e = jnp.einsum("eai,eaj->eij", Jc, Jc)
-            Hoo_e = jnp.einsum("eai,eaj->eij", Jo, Jo)
-            Hco_e = jnp.einsum("eai,eaj->eij", Jc, Jo)
-            bc_e = jnp.einsum("eai,ea->ei", Jc, r_w)
-            bo_e = jnp.einsum("eai,ea->ei", Jo, r_w)
-            Hcc_s = jax.ops.segment_sum(Hcc_e, kf_i, num_segments=Kf)
-            Hoo_s = jax.ops.segment_sum(Hoo_e, obj_i, num_segments=O)
-            Hco_s = jax.ops.segment_sum(Hco_e, kf_i * O + obj_i, num_segments=Kf * O)
-            bc_s = jax.ops.segment_sum(bc_e, kf_i, num_segments=Kf)
-            bo_s = jax.ops.segment_sum(bo_e, obj_i, num_segments=O)
-
-            cam_rows = jnp.zeros((Kf * 6, Kf * 6)).at[
-                (jnp.arange(Kf)[:, None, None] * 6 + jnp.arange(6)[None, :, None]),
-                (jnp.arange(Kf)[:, None, None] * 6 + jnp.arange(6)[None, None, :]),
-            ].add(Hcc_s)
-            obj_rows = jnp.zeros((O * 9, O * 9)).at[
-                (jnp.arange(O)[:, None, None] * 9 + jnp.arange(9)[None, :, None]),
-                (jnp.arange(O)[:, None, None] * 9 + jnp.arange(9)[None, None, :]),
-            ].add(Hoo_s)
-            cross = Hco_s.reshape(Kf, O, 6, 9).transpose(0, 2, 1, 3).reshape(Kf * 6, O * 9)
-            H_C = H_C.at[: Kf * 6, : Kf * 6].add(cam_rows)
-            H_C = H_C.at[Kf * 6 :, Kf * 6 :].add(obj_rows)
-            H_C = H_C.at[: Kf * 6, Kf * 6 :].add(cross)
-            H_C = H_C.at[Kf * 6 :, : Kf * 6].add(cross.T)
-            b_C = b_C.at[: Kf * 6].add(bc_s.reshape(-1))
-            b_C = b_C.at[Kf * 6 :].add(bo_s.reshape(-1))
-            return H_C, b_C
-
-        H_C, b_C = scatter_pair(H_C, b_C, Jc_b, Jo_b, rb_w, box_kf, box_obj)
-
-        # point-object: object-only blocks
-        Hoo_p = jax.ops.segment_sum(
-            jnp.einsum("eai,eaj->eij", J_p, J_p), po_obj, num_segments=O
-        )
-        bo_p = jax.ops.segment_sum(jnp.einsum("eai,ea->ei", J_p, rp_w), po_obj, num_segments=O)
-        obj_rows_p = jnp.zeros((O * 9, O * 9)).at[
-            (jnp.arange(O)[:, None, None] * 9 + jnp.arange(9)[None, :, None]),
-            (jnp.arange(O)[:, None, None] * 9 + jnp.arange(9)[None, None, :]),
-        ].add(Hoo_p)
-        H_C = H_C.at[Kf * 6 :, Kf * 6 :].add(obj_rows_p)
-        b_C = b_C.at[Kf * 6 :].add(bo_p.reshape(-1))
-
-        # ---------------- Schur over points ---------------------------
-        eye3 = jnp.eye(3)
-        pt_mask = pt_valid.astype(jnp.float32)
-        Hpp_d = Hpp + (lam + 1e-6) * eye3 + (1.0 - pt_mask)[:, None, None] * eye3
-        Hpp_inv = jnp.linalg.inv(Hpp_d) * pt_mask[:, None, None]
-        Y = jnp.einsum("kpij,pjl->kpil", W, Hpp_inv)
-        S_cam = jnp.einsum("kpil,qpml->kqim", Y, W)  # (Kf, Kf, 6, 6)
-        S_cam_dense = S_cam.transpose(0, 2, 1, 3).reshape(Kf * 6, Kf * 6)
-        H_red = H_C.at[: Kf * 6, : Kf * 6].add(-S_cam_dense)
-        rhs = -b_C
-        rhs = rhs.at[: Kf * 6].add(jnp.einsum("kpil,pl->ki", Y, bp).reshape(-1))
-
-        A = H_red + lam * jnp.eye(D)
-        A = C_mask[:, None] * A * C_mask[None, :] + jnp.diag(1.0 - C_mask)
-        Lc, low = jax.scipy.linalg.cho_factor(A, lower=True)
-        dC = jax.scipy.linalg.cho_solve((Lc, low), rhs * C_mask) * C_mask
-
-        dc_cam = dC[: Kf * 6].reshape(Kf, 6)
-        WT_dc = jnp.einsum("kpij,ki->pj", W, dc_cam)
-        dp = jnp.einsum("pij,pj->pi", Hpp_inv, -bp - WT_dc) * pt_mask[:, None]
-        return retract(state, dC, dp)
+        H_C, b_C, Hpp, bp, W = assemble_normal_blocks(
+            state, K, Kf, P, O, obs_edges, box_edges, po_edges)
+        dC, dp = schur_reduce_solve(H_C, b_C, Hpp, bp, W, lam, C_mask, pt_mask, Kf, D)
+        return retract_state(state, dC, dp, Kf, O)
 
     def body(i, carry):
         state, lam, cost = carry
@@ -302,9 +326,8 @@ def local_ba_objects(
     cost0 = total_cost(state0)
     state, _, cost = lax.fori_loop(0, num_iters, body, (state0, 1e-4, cost0))
 
-    _, raw_r = reproj_r(state)
+    raw_r, raw_b, _ = residual_families(state, K, *obs_edges, *box_edges, *po_edges)
     chi2_r = jnp.sum(raw_r * raw_r, axis=-1)
-    _, raw_b = bbox_r(state)
     chi2_b = jnp.sum(raw_b * raw_b, axis=-1)
     kf_tcw, pts, obj_pose, obj_scale = state
     return (

@@ -95,13 +95,17 @@ def sharded_lm_optimize(
             L, low = jax.scipy.linalg.cho_factor(A, lower=True)
             return jax.scipy.linalg.cho_solve((L, low), -g * mask_f) * mask_f
 
-        H0, g0, chi2_0 = normal_eqs(params)
-        lam0 = tau * jnp.max(jnp.diag(H0) * mask_f)
-        lam0 = jnp.where(lam0 > 0, lam0, tau)
+        chi2_0 = chi2_of(params)
 
         def body(i, state):
             p, lam, ni, chi2, hist = state
             H, g, _ = normal_eqs(p)
+            # first-pass lambda init (see graph/lm.py): one Jacobian graph in
+            # the compiled program instead of two — the shard_map partitioner
+            # cost scales with module size, and this halves it.
+            lam0 = tau * jnp.max(jnp.diag(H) * mask_f)
+            lam0 = jnp.where(lam0 > 0, lam0, tau)
+            lam = jnp.where(i == 0, lam0, lam)
             dx = solve(H, g, lam)
             p_new = retract_fn(p, dx)
             chi2_new = chi2_of(p_new)
@@ -119,7 +123,7 @@ def sharded_lm_optimize(
 
         hist0 = jnp.zeros((num_iters + 1,), dtype=jnp.float32).at[0].set(chi2_0)
         p, lam, _, chi2, hist = jax.lax.fori_loop(
-            0, num_iters, body, (params, lam0, 2.0, chi2_0, hist0)
+            0, num_iters, body, (params, jnp.float32(tau), 2.0, chi2_0, hist0)
         )
         return p, chi2, hist
 
