@@ -17,11 +17,14 @@ Re-design of the object machinery threaded through Tracking.cc:
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 
 import numpy as np
 
 from ..utils import np_geometry as np_geo
+
+logger = logging.getLogger("cube_slam_tpu")
 
 
 @dataclass
@@ -197,6 +200,11 @@ class ObjectManager:
         box_si = np.ones(max_box_edges, dtype=np.float32)
         box_valid = np.zeros(max_box_edges, dtype=bool)
         n = 0
+        n_eligible = sum(1 for d in self.detections
+                         if d.landmark >= 0 and d.kf_id in kf_map)
+        if n_eligible > max_box_edges:
+            logger.warning("object BA: clipping %d -> %d bbox edges",
+                           n_eligible, max_box_edges)
         for det in self.detections:
             if det.landmark < 0 or det.kf_id not in kf_map or n >= max_box_edges:
                 continue
@@ -214,6 +222,9 @@ class ObjectManager:
         po_valid = np.zeros(max_po_edges, dtype=bool)
         q = 0
         owned = np.where(m.mp_valid & (m.mp_best_obj >= 0))[0]
+        if len(owned) > max_po_edges:
+            logger.warning("object BA: clipping %d -> %d point-object edges",
+                           len(owned), max_po_edges)
         for mp in owned[:max_po_edges]:
             po_obj[q] = m.mp_best_obj[mp]
             po_pt[q] = mp

@@ -74,15 +74,16 @@ class MapState:
     # -- derived quantities --------------------------------------------------
     def covisibility_counts(self, kf_id):
         """Shared-map-point counts between kf_id and every other KF
-        (KeyFrame::UpdateConnections analog, computed on demand)."""
+        (KeyFrame::UpdateConnections analog, computed on demand).
+
+        Vectorized: membership mask over map-point ids, then one (K, N)
+        reduction — no Python set intersections (scales to max_kf x n_kp)."""
         mps = self.kf_kp_mp[kf_id]
-        mine = set(mps[mps >= 0].tolist())
-        counts = np.zeros(self.max_kf, dtype=np.int32)
-        for k in self.kf_ids():
-            if k == kf_id:
-                continue
-            theirs = self.kf_kp_mp[k]
-            counts[k] = len(mine.intersection(theirs[theirs >= 0].tolist()))
+        mine = np.zeros(self.max_mp, dtype=bool)
+        mine[mps[mps >= 0]] = True
+        owned = (self.kf_kp_mp >= 0) & mine[np.clip(self.kf_kp_mp, 0, None)]
+        counts = (owned & self.kf_valid[:, None]).sum(axis=1).astype(np.int32)
+        counts[kf_id] = 0
         return counts
 
     def erase_mp(self, ids):

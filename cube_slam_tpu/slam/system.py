@@ -17,6 +17,7 @@ Pipeline per frame (Tracking::Track, Tracking.cc:480-780):
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 
 import jax.numpy as jnp
@@ -28,6 +29,21 @@ from ..utils import np_geometry as np_geo
 from . import initializer as ini
 from . import tracking as trk
 from .state import FrameFeatures, MapState
+
+logger = logging.getLogger("cube_slam_tpu")
+
+
+def _select_best(ids, scores, cap, what):
+    """Pick the top-`cap` ids by score (descending); log when clipping.
+
+    Replaces silent first-N truncation: when a candidate set exceeds a
+    fixed kernel capacity, keep the BEST candidates and say so."""
+    if len(ids) <= cap:
+        return ids
+    order = np.argsort(-scores)[:cap]
+    logger.warning("%s: clipping %d -> %d candidates (keeping best by score)",
+                   what, len(ids), cap)
+    return ids[order]
 
 
 @dataclass
@@ -218,6 +234,11 @@ class MonocularTracker:
         if len(cand_ids) < 10:
             cand_ids = self.map.mp_ids()
         M = 1024
+        cand_ids = _select_best(
+            cand_ids,
+            self.map.mp_found[cand_ids] / np.maximum(self.map.mp_visible[cand_ids], 1),
+            M, "track candidates",
+        )
         cand = np.full(M, 0, dtype=np.int64)
         mvalid = np.zeros(M, dtype=bool)
         take = min(len(cand_ids), M)
@@ -276,9 +297,10 @@ class MonocularTracker:
         ok2 = mp_to_kp2 >= 0
         feats.mp[mp_to_kp2[ok2]] = np.where(ok2)[0]
 
-        # final pose optimization against all associated points
+        # final pose optimization against all associated points (shape padded
+        # to the per-frame keypoint capacity -> never truncates, one compile)
         assoc_kp = np.where(feats.mp >= 0)[0]
-        P = 1024
+        P = max(1024, len(feats.valid))
         pts = np.zeros((P, 3), dtype=np.float32)
         uv = np.zeros((P, 2), dtype=np.float32)
         si = np.ones(P, dtype=np.float32)
@@ -344,6 +366,8 @@ class MonocularTracker:
         if len(ids) < 10:
             return False, None, None, None, 0
         M = 1024
+        ids = _select_best(ids, m.mp_nobs[ids].astype(np.float64), M,
+                           "ref-KF candidates")
         cand = np.zeros(M, dtype=np.int64)
         mvalid = np.zeros(M, dtype=bool)
         take = min(len(ids), M)
@@ -383,6 +407,8 @@ class MonocularTracker:
         if len(ids) < 20:
             return False
         M = 2048
+        ids = _select_best(ids, m.mp_nobs[ids].astype(np.float64), M,
+                           "relocalization candidates")
         cand = np.zeros(M, dtype=np.int64)
         mvalid = np.zeros(M, dtype=bool)
         take = min(len(ids), M)
@@ -580,64 +606,84 @@ class MonocularTracker:
                 jnp.asarray(self.img_wh), jnp.float32(2.5),
             )
             mp_to_kp = np.array(mp_to_kp)
-            for i in np.where(mp_to_kp >= 0)[0]:
-                mp = int(cand[i])
-                kp = int(mp_to_kp[i])
-                existing = int(m.kf_kp_mp[nb, kp])
-                if existing < 0:
-                    m.kf_kp_mp[nb, kp] = mp
-                    m.mp_nobs[mp] += 1
-                elif existing != mp and m.mp_valid[existing]:
-                    # merge ONLY when the two points coincide in 3D — on
-                    # repetitive texture a descriptor+window match alone
-                    # merges aliases and corrupts the map
-                    d3 = np.linalg.norm(m.mp_pos[mp] - m.mp_pos[existing])
-                    depth = max(np.linalg.norm(
-                        m.mp_pos[mp] - np_geo.inv_T(m.kf_tcw[nb])[:3, 3]), 1e-6)
-                    if d3 < 0.05 * depth:
-                        keep, drop = (mp, existing) if m.mp_nobs[mp] >= m.mp_nobs[existing] \
-                            else (existing, mp)
-                        m.replace_mp(drop, keep)
+            sel = np.where(mp_to_kp >= 0)[0]
+            if len(sel) == 0:
+                continue
+            kps = mp_to_kp[sel]
+            mps = cand[sel].astype(np.int32)
+            # one match per keypoint (first wins, mirroring the loop order)
+            _, uniq_first = np.unique(kps, return_index=True)
+            kps, mps = kps[uniq_first], mps[uniq_first]
+            existing = m.kf_kp_mp[nb, kps]
+
+            fresh = existing < 0
+            m.kf_kp_mp[nb, kps[fresh]] = mps[fresh]
+            np.add.at(m.mp_nobs, mps[fresh], 1)
+
+            # conflicts: merge ONLY when the two points coincide in 3D — on
+            # repetitive texture a descriptor+window match alone merges
+            # aliases and corrupts the map
+            conflict = (~fresh) & (existing != mps) & m.mp_valid[np.clip(existing, 0, None)]
+            if not conflict.any():
+                continue
+            cm, ce = mps[conflict], existing[conflict]
+            cam = np_geo.inv_T(m.kf_tcw[nb])[:3, 3]
+            d3 = np.linalg.norm(m.mp_pos[cm] - m.mp_pos[ce], axis=1)
+            depth = np.maximum(np.linalg.norm(m.mp_pos[cm] - cam, axis=1), 1e-6)
+            for mp, ex in zip(cm[d3 < 0.05 * depth], ce[d3 < 0.05 * depth]):
+                if not (m.mp_valid[mp] and m.mp_valid[ex]):
+                    continue
+                keep, drop = (mp, ex) if m.mp_nobs[mp] >= m.mp_nobs[ex] else (ex, mp)
+                m.replace_mp(int(drop), int(keep))
 
     def _refresh_mp_geometry(self, ids):
         """UpdateNormalAndDepth analog: viewing normal from the mean of
         observing-KF directions; scale-distance bounds from the reference
-        octave (MapPoint.cc:UpdateNormalAndDepth)."""
+        octave (MapPoint.cc:UpdateNormalAndDepth). Fully vectorized over
+        observations (np.add.at / bincount) — no per-observation Python."""
         m = self.map
         if len(ids) == 0:
             return
         kf_idx, kp_idx, mp_idx = m.observations_of(ids)
         if len(kf_idx) == 0:
             return
-        centers = np.stack([np_geo.inv_T(m.kf_tcw[i])[:3, 3] for i in m.kf_ids()])
-        center_of = {int(i): centers[n] for n, i in enumerate(m.kf_ids())}
-        # accumulate normals
+        # camera centers for ALL keyframe slots: c = -R^T t
+        Rk = m.kf_tcw[:, :3, :3]
+        tk = m.kf_tcw[:, :3, 3]
+        centers = -np.einsum("kji,kj->ki", Rk, tk)
+
+        # accumulate unit viewing directions per map point
+        v = m.mp_pos[mp_idx] - centers[kf_idx]
+        nrm = np.linalg.norm(v, axis=1)
+        good = nrm > 1e-9
+        v = v[good] / nrm[good, None]
         acc = np.zeros((m.max_mp, 3))
-        cnt = np.zeros(m.max_mp)
-        for kf, kp, mp in zip(kf_idx, kp_idx, mp_idx):
-            v = m.mp_pos[mp] - center_of[int(kf)]
-            n = np.linalg.norm(v)
-            if n > 1e-9:
-                acc[mp] += v / n
-                cnt[mp] += 1
+        np.add.at(acc, mp_idx[good], v)
+        cnt = np.bincount(mp_idx[good], minlength=m.max_mp)
         upd = np.where(cnt > 0)[0]
         m.mp_normal[upd] = acc[upd] / cnt[upd, None]
-        # depth bounds from the first observing keyframe
-        for mp in np.unique(mp_idx):
-            kf = int(m.mp_first_kf[mp]) if m.mp_first_kf[mp] >= 0 else int(kf_idx[mp_idx == mp][0])
-            if not m.kf_valid[kf]:
-                continue
-            dist = np.linalg.norm(m.mp_pos[mp] - center_of.get(kf, np.zeros(3)))
-            lvl = m.mp_level[mp]
-            m.mp_max_dist[mp] = dist * (trk.SCALE_FACTOR ** lvl) * 1.2
-            m.mp_min_dist[mp] = m.mp_max_dist[mp] / (trk.SCALE_FACTOR ** self.cfg.n_levels) / 1.2
+
+        # depth bounds from the first observing keyframe (fall back to any
+        # observing KF when first_kf is gone)
+        uniq = np.unique(mp_idx)
+        ref = m.mp_first_kf[uniq].astype(np.int64)
+        first_obs = np.full(m.max_mp, -1, dtype=np.int64)
+        # reversed so the FIRST observation in (kf, kp) order wins
+        first_obs[mp_idx[::-1]] = kf_idx[::-1]
+        use_fallback = (ref < 0) | ~m.kf_valid[np.clip(ref, 0, None)]
+        ref = np.where(use_fallback, first_obs[uniq], ref)
+        ok = (ref >= 0) & m.kf_valid[np.clip(ref, 0, None)]
+        uniq, ref = uniq[ok], ref[ok]
+        dist = np.linalg.norm(m.mp_pos[uniq] - centers[ref], axis=1)
+        m.mp_max_dist[uniq] = dist * (trk.SCALE_FACTOR ** m.mp_level[uniq]) * 1.2
+        m.mp_min_dist[uniq] = m.mp_max_dist[uniq] / (
+            trk.SCALE_FACTOR ** self.cfg.n_levels) / 1.2
 
     # ------------------------------------------------------------------
     def _local_ba(self, local_kfs, fixed, kf_cap=16, pt_cap=2048):
         cfg = self.cfg
         m = self.map
         kfs = list(dict.fromkeys(list(local_kfs) + list(fixed)))
-        kf_map = {int(k): i for i, k in enumerate(kfs)}
         # points seen by local KFs
         mp_set = np.unique(
             np.concatenate([m.kf_kp_mp[k][m.kf_kp_mp[k] >= 0] for k in local_kfs])
@@ -645,13 +691,20 @@ class MonocularTracker:
         mp_set = mp_set[m.mp_valid[mp_set]]
         if len(mp_set) == 0:
             return
-        mp_map = {int(p): i for i, p in enumerate(mp_set)}
 
         kf_idx, kp_idx, mp_idx = m.observations_of(mp_set)
         keep = np.isin(kf_idx, kfs)
         kf_idx, kp_idx, mp_idx = kf_idx[keep], kp_idx[keep], mp_idx[keep]
         E = cfg.max_obs_edges
         n_e = min(len(kf_idx), E)
+        if len(kf_idx) > E:
+            logger.warning("local BA: clipping %d -> %d observation edges",
+                           len(kf_idx), E)
+        # vectorized edge assembly: lookup tables instead of per-edge dicts
+        kf_local = np.full(m.max_kf, -1, dtype=np.int32)
+        kf_local[np.asarray(kfs)] = np.arange(len(kfs), dtype=np.int32)
+        mp_local = np.full(m.max_mp, -1, dtype=np.int32)
+        mp_local[mp_set] = np.arange(len(mp_set), dtype=np.int32)
         obs_kf = np.zeros(E, dtype=np.int32)
         obs_pt = np.zeros(E, dtype=np.int32)
         obs_uv = np.zeros((E, 2), dtype=np.float32)
@@ -659,21 +712,25 @@ class MonocularTracker:
         obs_valid = np.zeros(E, dtype=bool)
         obs_z = np.zeros(E, dtype=np.float32)
         obs_z_si = np.zeros(E, dtype=np.float32)
-        for n in range(n_e):
-            obs_kf[n] = kf_map[int(kf_idx[n])]
-            obs_pt[n] = mp_map[int(mp_idx[n])]
-            obs_uv[n] = m.kf_kp_xy[kf_idx[n], kp_idx[n]]
-            obs_si[n] = 1.0 / (trk.SCALE_FACTOR ** m.kf_kp_level[kf_idx[n], kp_idx[n]])
-            obs_valid[n] = True
-            z = m.kf_kp_depth[kf_idx[n], kp_idx[n]]
-            if z > 0:
-                obs_z[n] = z
-                obs_z_si[n] = obs_si[n]
+        ke, pe, me = kf_idx[:n_e], kp_idx[:n_e], mp_idx[:n_e]
+        obs_kf[:n_e] = kf_local[ke]
+        obs_pt[:n_e] = mp_local[me]
+        obs_uv[:n_e] = m.kf_kp_xy[ke, pe]
+        obs_si[:n_e] = 1.0 / (trk.SCALE_FACTOR ** m.kf_kp_level[ke, pe])
+        obs_valid[:n_e] = True
+        z = m.kf_kp_depth[ke, pe]
+        has_z = z > 0
+        obs_z[:n_e] = np.where(has_z, z, 0.0)
+        obs_z_si[:n_e] = np.where(has_z, obs_si[:n_e], 0.0)
 
         KF_CAP = kf_cap
         PT_CAP = pt_cap
         nk = min(len(kfs), KF_CAP)
         npt = min(len(mp_set), PT_CAP)
+        if len(kfs) > KF_CAP:
+            logger.warning("local BA: clipping %d -> %d keyframes", len(kfs), KF_CAP)
+        if len(mp_set) > PT_CAP:
+            logger.warning("local BA: clipping %d -> %d points", len(mp_set), PT_CAP)
         kf_tcw = np.tile(np.eye(4, dtype=np.float32), (KF_CAP, 1, 1))
         kf_tcw[:nk] = m.kf_tcw[kfs[:nk]]
         kf_fixed = np.ones(KF_CAP, dtype=bool)
@@ -716,8 +773,12 @@ class MonocularTracker:
         if len(kfs) < 2:
             return
         oldest = min(kfs)
+        n_mp = int(self.map.mp_valid.sum())
+        # size the padded problem to the live map (rounded up) so global BA
+        # never silently drops points
+        pt_cap = max(2048, 1 << int(np.ceil(np.log2(max(n_mp, 1)))))
         self._local_ba(kfs, fixed=[oldest], kf_cap=max(16, self.cfg.max_kf),
-                       pt_cap=max(2048, min(self.cfg.max_mp, 4096)))
+                       pt_cap=min(pt_cap, self.cfg.max_mp))
 
     def _cull_keyframes(self, keep_latest=2, redundancy=0.9):
         """KeyFrameCulling (LocalMapping.cc:833-966): a keyframe is redundant
@@ -989,36 +1050,39 @@ class ObjectSlamTracker(MonocularTracker):
         mp_set = mp_set[m.mp_valid[mp_set]]
         if len(mp_set) == 0:
             return
-        mp_map = {int(p): i for i, p in enumerate(mp_set)}
 
         kf_idx, kp_idx, mp_idx = m.observations_of(mp_set)
         keep = np.isin(kf_idx, local)
         kf_idx, kp_idx, mp_idx = kf_idx[keep], kp_idx[keep], mp_idx[keep]
         E = cfg.max_obs_edges
         n_e = min(len(kf_idx), E)
+        if len(kf_idx) > E:
+            logger.warning("object BA: clipping %d -> %d observation edges",
+                           len(kf_idx), E)
+        kf_local = np.full(m.max_kf, -1, dtype=np.int32)
+        kf_local[np.asarray(local)] = np.arange(len(local), dtype=np.int32)
+        mp_local = np.full(m.max_mp, -1, dtype=np.int32)
+        mp_local[mp_set] = np.arange(len(mp_set), dtype=np.int32)
         obs_kf = np.zeros(E, dtype=np.int32)
         obs_pt = np.zeros(E, dtype=np.int32)
         obs_uv = np.zeros((E, 2), dtype=np.float32)
         obs_si = np.ones(E, dtype=np.float32)
         obs_valid = np.zeros(E, dtype=bool)
-        for n in range(n_e):
-            obs_kf[n] = kf_map[int(kf_idx[n])]
-            obs_pt[n] = mp_map[int(mp_idx[n])]
-            obs_uv[n] = m.kf_kp_xy[kf_idx[n], kp_idx[n]]
-            obs_si[n] = 1.0 / (trk.SCALE_FACTOR ** m.kf_kp_level[kf_idx[n], kp_idx[n]])
-            obs_valid[n] = True
+        ke, pe, me = kf_idx[:n_e], kp_idx[:n_e], mp_idx[:n_e]
+        obs_kf[:n_e] = kf_local[ke]
+        obs_pt[:n_e] = mp_local[me]
+        obs_uv[:n_e] = m.kf_kp_xy[ke, pe]
+        obs_si[:n_e] = 1.0 / (trk.SCALE_FACTOR ** m.kf_kp_level[ke, pe])
+        obs_valid[:n_e] = True
 
         (box_kf, box_obj, box_meas, box_si, box_valid,
          po_obj, po_pt_g, po_si, po_valid) = self.objects.ba_edges(
             m, kf_map, camera_object_weight=self.camera_object_weight
         )
         # remap point-object edges into local point indices
-        po_pt = np.zeros_like(po_pt_g)
-        for q in range(len(po_pt_g)):
-            if po_valid[q] and int(po_pt_g[q]) in mp_map:
-                po_pt[q] = mp_map[int(po_pt_g[q])]
-            else:
-                po_valid[q] = False
+        po_loc = mp_local[np.clip(po_pt_g, 0, None)]
+        po_valid &= po_loc >= 0
+        po_pt = np.where(po_valid, po_loc, 0).astype(po_pt_g.dtype)
 
         KF_CAP, PT_CAP = 16, 2048
         nk = min(len(local), KF_CAP)
