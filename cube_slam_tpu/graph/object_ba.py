@@ -10,9 +10,16 @@ edge families over one reduced system:
   [cx cy w h] to the detected box; Huber delta = 30 px, information
   proportional to camera_object_BA_weight * quality^2 (Optimizer.cc:
   1279-1366),
-* object-point hinge (EdgePointCuboidOnlyObject, g2o_Object.cpp:300-354):
-  owned map points pull the cuboid around them; points enter as constants
-  in this family (the reference's unary edge), realized with stop_gradient.
+* object-point hinge, in BOTH reference flavors:
+  - unary (EdgePointCuboidOnlyObject, g2o_Object.cpp:300-354): owned map
+    points pull the cuboid around them; points enter as constants
+    (stop_gradient) — the default, matching LocalBACameraPointObjects'
+    active branch (Optimizer.cc:1234-1254),
+  - binary (EdgePointCuboid[FixScale], g2o_Object.h:405-432, cpp:356-381):
+    point and cuboid jointly optimized; the error is
+    |point_boundary_error|/scale + 0.2*scale (shape prior), and the point
+    blocks enter the Schur system through the same generalized coupling W
+    as the reprojection edges. Enabled with po_binary=True.
 
 Cameras and objects form the reduced block (objects are few); points are
 eliminated exactly as in graph/ba.py. Object scale can be frozen per
@@ -51,9 +58,22 @@ def _robust_cost(r, delta, valid):
 # ---------------------------------------------------------------------------
 
 
+def _hinge_residual_unary(cub, p, si):
+    """EdgePointCuboidOnlyObject error (point constant)."""
+    return cb.point_boundary_error(cub, p[:, None, :])[:, 0, :] * si[:, None]
+
+
+def _hinge_residual_binary(cub, p, si):
+    """EdgePointCuboid error (g2o_Object.cpp:356-369): |boundary error|
+    normalized by the cuboid scale plus a 0.2-weighted shape prior."""
+    err = cb.point_boundary_error(cub, p[:, None, :])[:, 0, :]
+    err = jnp.abs(err) / jnp.maximum(cub.scale, 1e-6)
+    return (err + 0.2 * cub.scale) * si[:, None]
+
+
 def residual_families(state, K, obs_kf, obs_pt, obs_uv, obs_si, obs_valid,
                       box_kf, box_obj, box_meas, box_si, box_valid,
-                      po_obj, po_pt, po_si, po_valid):
+                      po_obj, po_pt, po_si, po_valid, po_binary=False):
     """Raw (un-robustified) residuals of the three edge families."""
     kf_tcw, pts, obj_pose, obj_scale = state
 
@@ -67,13 +87,16 @@ def residual_families(state, K, obs_kf, obs_pt, obs_uv, obs_si, obs_valid,
     rect = cb.project_onto_image_bbox(cub_b, kf_tcw[box_kf], K)
     r_b = (rect - box_meas) * box_si[:, None]
 
-    p_e = lax.stop_gradient(pts[po_pt])
     cub_p = cb.Cuboid(obj_pose[po_obj], obj_scale[po_obj])
-    r_p = cb.point_boundary_error(cub_p, p_e[:, None, :])[:, 0, :] * po_si[:, None]
+    if po_binary:
+        r_p = _hinge_residual_binary(cub_p, pts[po_pt], po_si)
+    else:
+        r_p = _hinge_residual_unary(cub_p, lax.stop_gradient(pts[po_pt]), po_si)
     return r_r, r_b, r_p
 
 
-def total_robust_cost(state, K, obs_edges, box_edges, po_edges):
+def total_robust_cost(state, K, obs_edges, box_edges, po_edges,
+                      po_binary=False):
     """Sum of robustified costs; additive over edges, so the sharded solver
     psums per-device partial sums of this same function."""
     (obs_kf, obs_pt, obs_uv, obs_si, obs_valid) = obs_edges
@@ -82,7 +105,7 @@ def total_robust_cost(state, K, obs_edges, box_edges, po_edges):
     r_r, r_b, r_p = residual_families(
         state, K, obs_kf, obs_pt, obs_uv, obs_si, obs_valid,
         box_kf, box_obj, box_meas, box_si, box_valid,
-        po_obj, po_pt, po_si, po_valid)
+        po_obj, po_pt, po_si, po_valid, po_binary=po_binary)
     return (
         _robust_cost(r_r, HUBER_MONO, obs_valid)
         + _robust_cost(r_b, HUBER_BBOX, box_valid)
@@ -91,13 +114,15 @@ def total_robust_cost(state, K, obs_edges, box_edges, po_edges):
 
 
 def assemble_normal_blocks(state, K, Kf, P, O,
-                           obs_edges, box_edges, po_edges):
+                           obs_edges, box_edges, po_edges, po_binary=False):
     """Per-edge Jacobians -> summed normal-equation blocks.
 
     Returns (H_C, b_C, Hpp, bp, W): the camera+object super-block system
     (D = Kf*6 + O*9), the point diagonal blocks, point gradient, and the
-    camera-point coupling W. All outputs are SUMS over the edges passed in,
-    so they psum across devices when edges are sharded.
+    GENERALIZED coupling W of shape (D, P, 3) — camera rows from the
+    reprojection family, object rows from the binary point-cuboid family
+    (zero when po_binary=False). All outputs are SUMS over the edges passed
+    in, so they psum across devices when edges are sharded.
     """
     (obs_kf, obs_pt, obs_uv, obs_si, obs_valid) = obs_edges
     (box_kf, box_obj, box_meas, box_si, box_valid) = box_edges
@@ -108,7 +133,7 @@ def assemble_normal_blocks(state, K, Kf, P, O,
     r_r_raw, r_b_raw, r_p_raw = residual_families(
         state, K, obs_kf, obs_pt, obs_uv, obs_si, obs_valid,
         box_kf, box_obj, box_meas, box_si, box_valid,
-        po_obj, po_pt, po_si, po_valid)
+        po_obj, po_pt, po_si, po_valid, po_binary=po_binary)
 
     # --- reproj family: blocks wrt cam (2, 6) and point (2, 3)
     def reproj_local(dx, T, p, uv, si, w):
@@ -145,20 +170,27 @@ def assemble_normal_blocks(state, K, Kf, P, O,
     Jc_b = J_b[..., :6]
     Jo_b = J_b[..., 6:]
 
-    # --- point-object family: blocks wrt object (3, 9)
+    # --- point-object family: blocks wrt object (3, 9) and, in the binary
+    # flavor, wrt the point (3, 3)
     def po_local(dx, op, os_, p, si, w):
-        cub = cb.exp_update(cb.Cuboid(op, os_), dx)
-        err = cb.point_boundary_error(cub, p[None, :])[0]
+        cub = cb.exp_update(cb.Cuboid(op, os_), dx[:9])
+        p2 = p + dx[9:] if po_binary else p
+        err = cb.point_boundary_error(cub, p2[None, :])[0]
+        if po_binary:
+            err = jnp.abs(err) / jnp.maximum(cub.scale, 1e-6) + 0.2 * cub.scale
         return err * si * w
 
     chi2_p = jnp.sum(r_p_raw * r_p_raw, axis=-1)
     w_p = lax.stop_gradient(huber_weight(chi2_p, HUBER_PT_OBJ)) * po_valid
     rp_w = r_p_raw * w_p[:, None]
-    J_p = jax.vmap(
+    po_pts = pts[po_pt] if po_binary else lax.stop_gradient(pts[po_pt])
+    J_pfull = jax.vmap(
         lambda op, os_, p, si, w: jax.jacfwd(
             lambda dx: po_local(dx, op, os_, p, si, w)
-        )(jnp.zeros(9))
-    )(obj_pose[po_obj], obj_scale[po_obj], lax.stop_gradient(pts[po_pt]), po_si, w_p)
+        )(jnp.zeros(12))
+    )(obj_pose[po_obj], obj_scale[po_obj], po_pts, po_si, w_p)
+    J_p = J_pfull[..., :9]
+    Jp_po = J_pfull[..., 9:]  # zero-effect unless po_binary (see below)
 
     # ---------------- assemble ----------------------------------------
     H_C = jnp.zeros((D, D))
@@ -172,10 +204,12 @@ def assemble_normal_blocks(state, K, Kf, P, O,
     )
     bc = jax.ops.segment_sum(jnp.einsum("eai,ea->ei", Jc_r, rr_w), obs_kf, num_segments=Kf)
     bp = jax.ops.segment_sum(jnp.einsum("eai,ea->ei", Jp_r, rr_w), obs_pt, num_segments=P)
-    W = jax.ops.segment_sum(
+    W_cam = jax.ops.segment_sum(
         jnp.einsum("eai,eaj->eij", Jc_r, Jp_r), obs_kf * P + obs_pt,
         num_segments=Kf * P,
     ).reshape(Kf, P, 6, 3)
+    W = jnp.zeros((D, P, 3))
+    W = W.at[: Kf * 6].set(W_cam.transpose(0, 2, 1, 3).reshape(Kf * 6, P, 3))
 
     idx6 = jnp.arange(Kf)
     Hcc_dense = jnp.zeros((Kf * 6, Kf * 6))
@@ -214,7 +248,7 @@ def assemble_normal_blocks(state, K, Kf, P, O,
     b_C = b_C.at[: Kf * 6].add(bc_s.reshape(-1))
     b_C = b_C.at[Kf * 6 :].add(bo_s.reshape(-1))
 
-    # point-object: object-only blocks
+    # point-object: object blocks (+ point blocks/coupling when binary)
     Hoo_p = jax.ops.segment_sum(
         jnp.einsum("eai,eaj->eij", J_p, J_p), po_obj, num_segments=O
     )
@@ -226,30 +260,41 @@ def assemble_normal_blocks(state, K, Kf, P, O,
     H_C = H_C.at[Kf * 6 :, Kf * 6 :].add(obj_rows_p)
     b_C = b_C.at[Kf * 6 :].add(bo_p.reshape(-1))
 
+    if po_binary:
+        Hpp = Hpp + jax.ops.segment_sum(
+            jnp.einsum("eai,eaj->eij", Jp_po, Jp_po), po_pt, num_segments=P
+        )
+        bp = bp + jax.ops.segment_sum(
+            jnp.einsum("eai,ea->ei", Jp_po, rp_w), po_pt, num_segments=P
+        )
+        W_obj = jax.ops.segment_sum(
+            jnp.einsum("eai,eaj->eij", J_p, Jp_po), po_obj * P + po_pt,
+            num_segments=O * P,
+        ).reshape(O, P, 9, 3)
+        W = W.at[Kf * 6 :].add(W_obj.transpose(0, 2, 1, 3).reshape(O * 9, P, 3))
+
     return H_C, b_C, Hpp, bp, W
 
 
 def schur_reduce_solve(H_C, b_C, Hpp, bp, W, lam, C_mask, pt_mask, Kf, D):
     """Schur-eliminate points, solve the reduced camera+object system, and
-    back-substitute point updates. Deterministic given summed blocks — the
+    back-substitute point updates. W is the generalized (D, P, 3) coupling
+    (camera AND object rows). Deterministic given summed blocks — the
     sharded solver runs this replicated after psum."""
     eye3 = jnp.eye(3)
     Hpp_d = Hpp + (lam + 1e-6) * eye3 + (1.0 - pt_mask)[:, None, None] * eye3
     Hpp_inv = jnp.linalg.inv(Hpp_d) * pt_mask[:, None, None]
-    Y = jnp.einsum("kpij,pjl->kpil", W, Hpp_inv)
-    S_cam = jnp.einsum("kpil,qpml->kqim", Y, W)  # (Kf, Kf, 6, 6)
-    S_cam_dense = S_cam.transpose(0, 2, 1, 3).reshape(Kf * 6, Kf * 6)
-    H_red = H_C.at[: Kf * 6, : Kf * 6].add(-S_cam_dense)
-    rhs = -b_C
-    rhs = rhs.at[: Kf * 6].add(jnp.einsum("kpil,pl->ki", Y, bp).reshape(-1))
+    Y = jnp.einsum("dpi,pij->dpj", W, Hpp_inv)      # (D, P, 3)
+    S = jnp.einsum("dpj,epj->de", Y, W)             # (D, D)
+    H_red = H_C - S
+    rhs = -b_C + jnp.einsum("dpj,pj->d", Y, bp)
 
     A = H_red + lam * jnp.eye(D)
     A = C_mask[:, None] * A * C_mask[None, :] + jnp.diag(1.0 - C_mask)
     Lc, low = jax.scipy.linalg.cho_factor(A, lower=True)
     dC = jax.scipy.linalg.cho_solve((Lc, low), rhs * C_mask) * C_mask
 
-    dc_cam = dC[: Kf * 6].reshape(Kf, 6)
-    WT_dc = jnp.einsum("kpij,ki->pj", W, dc_cam)
+    WT_dc = jnp.einsum("dpi,d->pi", W, dC)
     dp = jnp.einsum("pij,pj->pi", Hpp_inv, -bp - WT_dc) * pt_mask[:, None]
     return dC, dp
 
@@ -273,7 +318,7 @@ def camera_object_mask(kf_fixed, obj_valid, obj_fix_scale, O):
     return jnp.concatenate([cam_mask, obj_mask])
 
 
-@functools.partial(jax.jit, static_argnames=("num_iters",))
+@functools.partial(jax.jit, static_argnames=("num_iters", "po_binary"))
 def local_ba_objects(
     kf_tcw,          # (Kf, 4, 4)
     pts,             # (P, 3)
@@ -289,6 +334,7 @@ def local_ba_objects(
     # masks
     kf_fixed, pt_valid, obj_valid, obj_fix_scale,
     num_iters: int = 10,
+    po_binary: bool = False,
 ):
     """Returns (kf_tcw, pts, obj_pose, obj_scale, cost, reproj_inlier,
     box_inlier)."""
@@ -304,11 +350,13 @@ def local_ba_objects(
     po_edges = (po_obj, po_pt, po_si, po_valid)
 
     def total_cost(state):
-        return total_robust_cost(state, K, obs_edges, box_edges, po_edges)
+        return total_robust_cost(state, K, obs_edges, box_edges, po_edges,
+                                 po_binary=po_binary)
 
     def lm_step(state, lam):
         H_C, b_C, Hpp, bp, W = assemble_normal_blocks(
-            state, K, Kf, P, O, obs_edges, box_edges, po_edges)
+            state, K, Kf, P, O, obs_edges, box_edges, po_edges,
+            po_binary=po_binary)
         dC, dp = schur_reduce_solve(H_C, b_C, Hpp, bp, W, lam, C_mask, pt_mask, Kf, D)
         return retract_state(state, dC, dp, Kf, O)
 
@@ -326,7 +374,8 @@ def local_ba_objects(
     cost0 = total_cost(state0)
     state, _, cost = lax.fori_loop(0, num_iters, body, (state0, 1e-4, cost0))
 
-    raw_r, raw_b, _ = residual_families(state, K, *obs_edges, *box_edges, *po_edges)
+    raw_r, raw_b, _ = residual_families(state, K, *obs_edges, *box_edges, *po_edges,
+                                        po_binary=po_binary)
     chi2_r = jnp.sum(raw_r * raw_r, axis=-1)
     chi2_b = jnp.sum(raw_b * raw_b, axis=-1)
     kf_tcw, pts, obj_pose, obj_scale = state
@@ -334,4 +383,49 @@ def local_ba_objects(
         kf_tcw, pts, obj_pose, obj_scale, cost,
         obs_valid & (chi2_r <= CHI2_MONO),
         box_valid & (chi2_b <= 900.0),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("po_binary",))
+def local_ba_objects_two_stage(
+    kf_tcw, pts, obj_pose, obj_scale, K,
+    obs_kf, obs_pt, obs_uv, obs_si, obs_valid,
+    box_kf, box_obj, box_meas, box_si, box_valid,
+    po_obj, po_pt, po_si, po_valid,
+    kf_fixed, pt_valid, obj_valid, obj_fix_scale,
+    po_binary: bool = False,
+):
+    """The reference's optimize(5) -> prune outliers -> optimize(10)
+    schedule (Optimizer.cc:1389-1444): reprojection edges with chi2 > 5.991
+    and bbox edges with error norm > 80 px are dropped after the first
+    stage, then the survivors are re-optimized.
+
+    Returns the same tuple as local_ba_objects (inlier masks reflect the
+    pruned sets)."""
+    out1 = local_ba_objects(
+        kf_tcw, pts, obj_pose, obj_scale, K,
+        obs_kf, obs_pt, obs_uv, obs_si, obs_valid,
+        box_kf, box_obj, box_meas, box_si, box_valid,
+        po_obj, po_pt, po_si, po_valid,
+        kf_fixed, pt_valid, obj_valid, obj_fix_scale,
+        num_iters=5, po_binary=po_binary,
+    )
+    kf1, pts1, op1, os1 = out1[:4]
+    # chi2 gates on the STAGE-1 state (the reference checks e->chi2() after
+    # optimize(5)); bbox gate is the raw pixel error norm > 80
+    raw_r, raw_b, _ = residual_families(
+        (kf1, pts1, op1, os1), K,
+        obs_kf, obs_pt, obs_uv, obs_si, obs_valid,
+        box_kf, box_obj, box_meas, box_si, box_valid,
+        po_obj, po_pt, po_si, po_valid, po_binary=po_binary)
+    obs_keep = obs_valid & (jnp.sum(raw_r * raw_r, axis=-1) <= CHI2_MONO)
+    box_err = jnp.linalg.norm(raw_b / jnp.maximum(box_si, 1e-9)[:, None], axis=-1)
+    box_keep = box_valid & (box_err <= 80.0)
+    return local_ba_objects(
+        kf1, pts1, op1, os1, K,
+        obs_kf, obs_pt, obs_uv, obs_si, obs_keep,
+        box_kf, box_obj, box_meas, box_si, box_keep,
+        po_obj, po_pt, po_si, po_valid,
+        kf_fixed, pt_valid, obj_valid, obj_fix_scale,
+        num_iters=10, po_binary=po_binary,
     )

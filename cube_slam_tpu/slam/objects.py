@@ -187,6 +187,32 @@ class ObjectManager:
         return np.linalg.norm(w1[:3, 3] - w2[:3, 3]) < max_dist
 
     # ------------------------------------------------------------------
+    def filter_and_recenter(self, map_state, coarse_threshold=4.0,
+                            fine_threshold=3.0, min_points_recenter=5):
+        """Owned-point outlier filter + object re-centering pre-pass
+        (Optimizer.cc:1180-1224): per object, two-round distance-to-mean
+        filtering of its owned points (coarse 4 m, fine 3 m — same for
+        kitti), outliers lose their ownership vote, and when enough points
+        survive the object's position is reset to their mean before BA."""
+        m = map_state
+        st = self.store
+        for o in np.where(st.valid)[0]:
+            ids = np.where(m.mp_valid & (m.mp_best_obj == o))[0]
+            if len(ids) == 0:
+                continue
+            p = m.mp_pos[ids].astype(np.float64)
+            mean1 = p.mean(axis=0)
+            coarse = np.linalg.norm(p - mean1, axis=1) < coarse_threshold
+            if not coarse.any():
+                continue
+            mean2 = p[coarse].mean(axis=0)
+            fine = np.linalg.norm(p - mean2, axis=1) < fine_threshold
+            # outliers lose the ownership vote ("else remove observation")
+            m.mp_best_obj[ids[~fine]] = -1
+            if fine.sum() > min_points_recenter:
+                st.pose[o][:3, 3] = p[fine].mean(axis=0).astype(np.float32)
+
+    # ------------------------------------------------------------------
     def ba_edges(self, map_state, kf_map, max_box_edges=64, max_po_edges=512,
                  camera_object_weight=1.0):
         """Assemble bbox + point-object edge arrays for local_ba_objects.

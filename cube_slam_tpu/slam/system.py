@@ -1030,8 +1030,10 @@ class ObjectSlamTracker(MonocularTracker):
 
     def _object_ba(self, k):
         """Joint local BA with objects (replaces the plain point BA result
-        for the local window)."""
-        from ..graph.object_ba import local_ba_objects
+        for the local window). Runs the reference's pre-pass (owned-point
+        filter + re-center, Optimizer.cc:1180-1224) and two-stage
+        5 -> prune -> 10 schedule (:1389-1444)."""
+        from ..graph.object_ba import local_ba_objects_two_stage
         import jax.numpy as jnp
 
         cfg = self.cfg
@@ -1039,6 +1041,7 @@ class ObjectSlamTracker(MonocularTracker):
         st = self.objects.store
         if not st.valid.any():
             return
+        self.objects.filter_and_recenter(m)
         counts = m.covisibility_counts(k)
         order = np.argsort(-counts)
         local = [k] + [int(i) for i in order[: cfg.local_ba_kfs - 1] if counts[i] >= 15]
@@ -1104,7 +1107,7 @@ class ObjectSlamTracker(MonocularTracker):
         box_valid &= box_kf < nk
         po_valid &= po_pt < npt
 
-        out = local_ba_objects(
+        out = local_ba_objects_two_stage(
             jnp.asarray(kf_tcw), jnp.asarray(pts),
             jnp.asarray(st.pose), jnp.asarray(st.scale), jnp.asarray(self.K),
             jnp.asarray(obs_kf), jnp.asarray(obs_pt), jnp.asarray(obs_uv),
@@ -1115,7 +1118,6 @@ class ObjectSlamTracker(MonocularTracker):
             jnp.asarray(po_valid),
             jnp.asarray(kf_fixed), jnp.asarray(pt_valid),
             jnp.asarray(st.valid), jnp.asarray(st.fix_scale),
-            num_iters=cfg.local_ba_iters,
         )
         kf_out, pts_out, op_out, os_out = (np.array(x) for x in out[:4])
         for i, kf in enumerate(local[:nk]):

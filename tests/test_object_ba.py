@@ -159,3 +159,92 @@ def test_object_ba_joint_camera_point_object():
     assert max(pose_errs) < 0.02, pose_errs
     err = float(jnp.linalg.norm(cb.min_log_error(cb.Cuboid(op_out[0], os_out[0]), cube)))
     assert err < 0.08, err
+
+
+def test_binary_point_cuboid_edges_joint_convergence():
+    """EdgePointCuboid binary family (g2o_Object.h:405-432, cpp:356-381):
+    a perturbed cuboid AND its perturbed surface points converge jointly
+    (points receive gradient through the hinge, not just reprojection)."""
+    cube, pts, tcw, (okf, opt, ouv), boxes = _object_scene(seed=4)
+    rng = np.random.default_rng(5)
+    n_kf, n_pt = len(tcw), len(pts)
+
+    pts0 = pts + 0.05 * rng.normal(size=pts.shape).astype(np.float32)
+    cube0 = cb.exp_update(cube, jnp.asarray(
+        np.concatenate([0.08 * rng.normal(size=6), 0.06 * rng.normal(size=3)]),
+        dtype=jnp.float32))
+
+    E = len(okf)
+    B = len(tcw)
+    out = object_ba.local_ba_objects(
+        jnp.asarray(tcw), jnp.asarray(pts0), jnp.asarray(np.asarray(cube0.pose)[None]),
+        jnp.asarray(np.asarray(cube0.scale)[None]), jnp.asarray(K),
+        jnp.asarray(okf, dtype=jnp.int32), jnp.asarray(opt, dtype=jnp.int32),
+        jnp.asarray(ouv, dtype=jnp.float32), jnp.ones(E, dtype=jnp.float32),
+        jnp.ones(E, dtype=bool),
+        jnp.arange(B, dtype=jnp.int32), jnp.zeros(B, dtype=jnp.int32),
+        jnp.asarray(boxes, dtype=jnp.float32), jnp.full(B, 0.1, dtype=jnp.float32),
+        jnp.ones(B, dtype=bool),
+        jnp.zeros(n_pt, dtype=jnp.int32), jnp.arange(n_pt, dtype=jnp.int32),
+        jnp.full(n_pt, 0.5, dtype=jnp.float32), jnp.ones(n_pt, dtype=bool),
+        jnp.ones(n_kf, dtype=bool),      # cameras fixed (gauge)
+        jnp.ones(n_pt, dtype=bool),
+        jnp.asarray([True]), jnp.asarray([False]),
+        num_iters=25, po_binary=True,
+    )
+    kf_out, pts_out, op_out, os_out, cost, _, _ = out
+    # points must improve toward truth
+    err0 = float(np.linalg.norm(pts0 - pts, axis=1).mean())
+    err1 = float(np.linalg.norm(np.asarray(pts_out) - pts, axis=1).mean())
+    assert err1 < 0.6 * err0, (err0, err1)
+    # cuboid must improve toward truth
+    c_err0 = float(jnp.linalg.norm(cb.min_log_error(cube0, cube)))
+    c_err1 = float(jnp.linalg.norm(cb.min_log_error(cb.Cuboid(op_out[0], os_out[0]), cube)))
+    assert c_err1 < 0.6 * c_err0, (c_err0, c_err1)
+
+
+def test_two_stage_schedule_prunes_outliers():
+    """optimize(5) -> prune -> optimize(10) (Optimizer.cc:1389-1444):
+    grossly-wrong reprojection edges must be pruned and not corrupt the
+    solution."""
+    cube, pts, tcw, (okf, opt, ouv), boxes = _object_scene(seed=6)
+    rng = np.random.default_rng(7)
+    n_kf, n_pt = len(tcw), len(pts)
+    E = len(okf)
+    ouv_bad = ouv.copy()
+    bad = rng.choice(E, E // 10, replace=False)
+    ouv_bad[bad] += rng.uniform(60, 120, size=(len(bad), 2))
+
+    tcw0 = tcw.copy()
+    for i in range(2, n_kf):
+        tcw0[i] = np.asarray(
+            geo.se3_exp(jnp.asarray(0.02 * rng.normal(size=6), dtype=jnp.float32))
+        ) @ tcw0[i]
+    pts0 = pts + 0.02 * rng.normal(size=pts.shape).astype(np.float32)
+
+    B = len(tcw)
+    out = object_ba.local_ba_objects_two_stage(
+        jnp.asarray(tcw0), jnp.asarray(pts0), jnp.asarray(np.asarray(cube.pose)[None]),
+        jnp.asarray(np.asarray(cube.scale)[None]), jnp.asarray(K),
+        jnp.asarray(okf, dtype=jnp.int32), jnp.asarray(opt, dtype=jnp.int32),
+        jnp.asarray(ouv_bad, dtype=jnp.float32), jnp.ones(E, dtype=jnp.float32),
+        jnp.ones(E, dtype=bool),
+        jnp.arange(B, dtype=jnp.int32), jnp.zeros(B, dtype=jnp.int32),
+        jnp.asarray(boxes, dtype=jnp.float32), jnp.full(B, 0.1, dtype=jnp.float32),
+        jnp.ones(B, dtype=bool),
+        jnp.zeros(n_pt, dtype=jnp.int32), jnp.arange(n_pt, dtype=jnp.int32),
+        jnp.full(n_pt, 2.0, dtype=jnp.float32), jnp.ones(n_pt, dtype=bool),
+        jnp.asarray([True, True, False, False]),
+        jnp.ones(n_pt, dtype=bool),
+        jnp.asarray([True]), jnp.asarray([False]),
+    )
+    kf_out, pts_out, op_out, os_out, cost, inl_r, inl_b = out
+    # corrupted edges flagged as outliers
+    assert not np.asarray(inl_r)[bad].any()
+    # camera poses still recovered despite 10% gross outliers
+    pose_errs = [
+        float(np.linalg.norm(np.asarray(
+            geo.se3_log(jnp.asarray(np.linalg.inv(tcw[i]) @ np.asarray(kf_out)[i])))))
+        for i in range(n_kf)
+    ]
+    assert max(pose_errs) < 0.02, pose_errs
