@@ -45,22 +45,35 @@ def keyframe_signature(desc, valid):
 
 
 def signature_similarity(query, db):
-    """Cosine similarity of a query signature against a stack (K, 256)."""
-    qn = query / max(np.linalg.norm(query), 1e-9)
-    dn = db / np.maximum(np.linalg.norm(db, axis=1, keepdims=True), 1e-9)
+    """Cosine similarity of a query signature against a stack (K, 256).
+
+    Signatures are CENTERED at 0.5 first: raw bit frequencies hover around
+    0.5 for random descriptors, so un-centered cosines are all ~1 and carry
+    no information. Centered, unrelated keyframes score ~0 and revisits
+    score high — which also makes an absolute candidate floor meaningful
+    (fixing the degenerate floor=0 case when no covisible keyframe is in
+    the database, cf. KeyFrameDatabase.cc:74-194's minScore)."""
+    q = query - 0.5
+    d = db - 0.5
+    qn = q / max(np.linalg.norm(q), 1e-9)
+    dn = d / np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-9)
     return dn @ qn
 
 
 class LoopDetector:
     """KeyFrameDatabase analog over signatures."""
 
-    def __init__(self, min_gap_kfs=10, margin=1.02):
+    def __init__(self, min_gap_kfs=10, margin=1.02, abs_floor=0.35):
         self.signatures = {}
         self.min_gap_kfs = min_gap_kfs
         self.margin = margin
+        self.abs_floor = abs_floor
 
     def add(self, kf_id, desc, valid):
         self.signatures[int(kf_id)] = keyframe_signature(desc, valid)
+
+    def remove(self, kf_id):
+        self.signatures.pop(int(kf_id), None)
 
     def detect(self, kf_id, covisible_ids):
         """Returns candidate kf ids sorted by similarity (best first)."""
@@ -73,9 +86,10 @@ class LoopDetector:
         db = np.stack([self.signatures[i] for i in others])
         sims = signature_similarity(self.signatures[kf_id], db)
         cov = set(int(c) for c in covisible_ids)
-        # reference: candidates must beat the minimum covisible score
+        # reference: candidates must beat the minimum covisible score; the
+        # absolute floor guards the empty-covisible case
         cov_sims = [s for i, s in zip(others, sims) if i in cov]
-        floor = min(cov_sims) if cov_sims else 0.0
+        floor = max(min(cov_sims) if cov_sims else 0.0, self.abs_floor)
         cands = [
             (s, i) for i, s in zip(others, sims)
             if i not in cov and abs(kf_id - i) >= self.min_gap_kfs
@@ -169,13 +183,17 @@ def optimize_sim3_pose_graph(
 
 
 def correct_loop(map_state, loop_kf, matched_kf, sim3_correction, kf_order=None,
-                 num_iters=20):
-    """Apply a verified loop: build the essential graph (sequential +
-    loop edge), optimize Sim3 poses, re-anchor map points through their
-    first-observing keyframe (CorrectLoop, LoopClosing.cc:401-580).
+                 num_iters=20, covis_theta=30, extra_loop_edges=None):
+    """Apply a verified loop: build the essential graph (spanning chain +
+    covisibility edges above `covis_theta` shared points + past loop edges
+    + the new loop edge, Optimizer.cc:2644-2740), optimize Sim3 poses,
+    re-anchor map points through their first-observing keyframe
+    (CorrectLoop, LoopClosing.cc:401-580).
 
     sim3_correction: (s, R, t) mapping loop_kf-side world coords onto
-    matched_kf-side coords (from verify_loop_sim3)."""
+    matched_kf-side coords (from verify_loop_sim3).
+    extra_loop_edges: list of (kf_a, kf_b) pairs from previous closures
+    (KeyFrame::GetLoopEdges analog)."""
     m = map_state
     kfs = kf_order if kf_order is not None else sorted(int(k) for k in m.kf_ids())
     K = len(kfs)
@@ -186,11 +204,10 @@ def correct_loop(map_state, loop_kf, matched_kf, sim3_correction, kf_order=None,
     R = np.stack([m.kf_tcw[k][:3, :3] for k in kfs])
     t = np.stack([m.kf_tcw[k][:3, 3] for k in kfs])
 
-    # sequential odometry edges from current estimates
     ei, ej, es, eR, et, ew = [], [], [], [], [], []
-    for a, b in zip(kfs[:-1], kfs[1:]):
-        i, j = idx_of[a], idx_of[b]
-        # S_ij = S_i S_j^-1 with current values
+
+    def add_edge(i, j, weight):
+        """Relative measurement S_ij = S_i S_j^-1 from current estimates."""
         sj_inv, Rj_inv, tj_inv = sim3_mod.sim3_inverse(
             jnp.asarray(s[j]), jnp.asarray(R[j]), jnp.asarray(t[j])
         )
@@ -200,7 +217,32 @@ def correct_loop(map_state, loop_kf, matched_kf, sim3_correction, kf_order=None,
         )
         ei.append(i); ej.append(j)
         es.append(float(s_ij)); eR.append(np.array(R_ij)); et.append(np.array(t_ij))
-        ew.append(1.0)
+        ew.append(float(weight))
+
+    # spanning-chain edges (the sequential KF ordering is our spanning tree)
+    inserted = set()
+    for a, b in zip(kfs[:-1], kfs[1:]):
+        add_edge(idx_of[a], idx_of[b], 1.0)
+        inserted.add((min(a, b), max(a, b)))
+
+    # covisibility edges: KF pairs sharing >= covis_theta map points
+    # (GetCovisiblesByWeight(minFeat), Optimizer.cc:2744-)
+    covis = m.covisibility_matrix()
+    for ia, a in enumerate(kfs):
+        for b in kfs[ia + 1:]:
+            key = (a, b)
+            if key in inserted or covis[a, b] < covis_theta:
+                continue
+            add_edge(idx_of[a], idx_of[b], 1.0)
+            inserted.add(key)
+
+    # past loop edges (KeyFrame::GetLoopEdges)
+    for a, b in (extra_loop_edges or []):
+        key = (min(a, b), max(a, b))
+        if key in inserted or a not in idx_of or b not in idx_of:
+            continue
+        add_edge(idx_of[a], idx_of[b], float(len(kfs)))
+        inserted.add(key)
 
     # the loop edge: matched_kf pose should equal correction applied to
     # loop_kf-side geometry

@@ -86,6 +86,16 @@ class MapState:
         counts[kf_id] = 0
         return counts
 
+    def covisibility_matrix(self):
+        """(max_kf, max_kf) shared-map-point counts between all KF pairs —
+        one ownership matmul (essential-graph edge weights)."""
+        own = np.zeros((self.max_kf, self.max_mp), dtype=np.float32)
+        kf_i, kp_i = np.where(self.kf_valid[:, None] & (self.kf_kp_mp >= 0))
+        own[kf_i, self.kf_kp_mp[kf_i, kp_i]] = 1.0
+        counts = (own @ own.T).astype(np.int32)
+        np.fill_diagonal(counts, 0)
+        return counts
+
     def erase_mp(self, ids):
         self.mp_valid[ids] = False
         # detach from keyframes

@@ -67,8 +67,10 @@ class TrackerConfig:
     min_init_matches: int = 100
     init_ratio: float = 0.9
     init_max_dist: int = 50
-    enable_loop_closing: bool = False
+    enable_loop_closing: bool = True
     loop_min_gap_kfs: int = 10
+    loop_covis_theta: int = 30
+    loop_global_ba: bool = True
 
 
 class MonocularTracker:
@@ -97,6 +99,7 @@ class MonocularTracker:
 
         self.loop_detector = LoopDetector(min_gap_kfs=self.cfg.loop_min_gap_kfs)
         self.loops_closed = 0
+        self.loop_edges = []  # (kf_a, kf_b) closed pairs (GetLoopEdges analog)
 
     def _n_kp_total(self):
         cfg = orb.OrbPyramidConfig(self.cfg.n_features, n_levels=self.cfg.n_levels)
@@ -501,7 +504,9 @@ class MonocularTracker:
             self._try_close_loop(k, counts)
 
     def _try_close_loop(self, k, covis_counts):
-        """DetectLoop -> verify Sim3 -> CorrectLoop over the whole KF set."""
+        """DetectLoop -> verify Sim3 -> CorrectLoop (essential graph with
+        covisibility + past loop edges) -> SearchAndFuse -> global BA
+        (LoopClosing::Run + RunGlobalBundleAdjustment, inline)."""
         from . import loop_closing as lc
 
         m = self.map
@@ -514,11 +519,64 @@ class MonocularTracker:
             if ver is None:
                 continue
             s, R, t, n_in = ver
-            lc.correct_loop(m, loop_kf=k, matched_kf=cand, sim3_correction=(s, R, t))
+            lc.correct_loop(
+                m, loop_kf=k, matched_kf=cand, sim3_correction=(s, R, t),
+                covis_theta=self.cfg.loop_covis_theta,
+                extra_loop_edges=self.loop_edges,
+            )
+            self.loop_edges.append((int(cand), int(k)))
+            self._search_and_fuse_loop(k, cand)
+            if self.cfg.loop_global_ba:
+                self.global_ba()
             self.last_Tcw = m.kf_tcw[k].copy()
             self.velocity = np.eye(4, dtype=np.float32)
             self.loops_closed += 1
+            logger.info("loop closed: KF %d -> KF %d (%d Sim3 inliers)",
+                        k, cand, n_in)
             break
+
+    def _search_and_fuse_loop(self, k, matched_kf, radius=4.0):
+        """SearchAndFuse (LoopClosing.cc:536-580): after correction, project
+        the matched side's map points into the current keyframe and merge
+        duplicates (the drift created doubled geometry)."""
+        m = self.map
+        loop_mp = m.kf_kp_mp[matched_kf]
+        ids = np.unique(loop_mp[loop_mp >= 0])
+        ids = ids[m.mp_valid[ids]]
+        if len(ids) == 0:
+            return
+        M = 1024
+        ids = _select_best(ids, m.mp_nobs[ids].astype(np.float64), M,
+                           "loop fuse candidates")
+        cand = np.zeros(M, dtype=np.int64)
+        mvalid = np.zeros(M, dtype=bool)
+        take = min(len(ids), M)
+        cand[:take] = ids[:take]
+        mvalid[:take] = True
+        mp_to_kp, _ = trk.search_local_points(
+            jnp.asarray(m.kf_tcw[k]), jnp.asarray(self.K),
+            jnp.asarray(m.mp_pos[cand]), jnp.asarray(m.mp_desc[cand]),
+            jnp.asarray(m.mp_level[cand]), jnp.asarray(mvalid),
+            jnp.asarray(m.mp_normal[cand]), jnp.asarray(m.mp_min_dist[cand]),
+            jnp.asarray(m.mp_max_dist[cand]),
+            jnp.asarray(m.kf_kp_xy[k]), jnp.asarray(m.kf_kp_desc[k]),
+            jnp.asarray(m.kf_kp_level[k]), jnp.asarray(m.kf_kp_valid[k]),
+            jnp.zeros(m.n_kp, dtype=bool),
+            jnp.asarray(self.img_wh), jnp.float32(radius),
+        )
+        mp_to_kp = np.array(mp_to_kp)
+        sel = np.where(mp_to_kp >= 0)[0]
+        for i in sel:
+            mp = int(cand[i])
+            kp = int(mp_to_kp[i])
+            existing = int(m.kf_kp_mp[k, kp])
+            if existing < 0:
+                m.kf_kp_mp[k, kp] = mp
+                m.mp_nobs[mp] += 1
+            elif existing != mp and m.mp_valid[existing] and m.mp_valid[mp]:
+                # loop-side point replaces the drifted duplicate (the
+                # reference's Fuse prefers the loop map point)
+                m.replace_mp(existing, mp)
 
     def _cull_map_points(self, new_kf):
         """MapPointCulling (LocalMapping.cc:249-318), simplified: erase map
