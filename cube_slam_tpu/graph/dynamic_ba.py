@@ -47,6 +47,14 @@ def dynamic_object_ba(
     kf_fixed, obj_kf_valid, obj_valid, pt_valid,
     # camera-object bbox edges (ba_dyna_obj_cam, Optimizer.cc:2232): optional
     bo_kf=None, bo_obj=None, bo_meas=None, bo_si=None, bo_valid=None,
+    # static-map reprojection edges (optional): anchor FREE cameras to the
+    # static map while the dynamic residuals shape the object trajectory.
+    # The reference's LocalBACameraPointObjectsDynamic includes the full
+    # static point family with free points (Optimizer.cc:1537-); here the
+    # static points enter as constants (they were just optimized by the
+    # static local BA in the same keyframe step) to keep the dense-LM
+    # tangent small.
+    sp_kf=None, sp_pts=None, sp_uv=None, sp_si=None, sp_valid=None,
     num_iters: int = 12,
     motion_weight: float = 1.0,
     inbox_weight: float = 1.0,
@@ -121,6 +129,14 @@ def dynamic_object_ba(
             chi2_b = jnp.sum(r_bo * r_bo, axis=-1)
             wb = lax.stop_gradient(huber_weight(chi2_b, 30.0))
             parts.append((r_bo * (wb * bo_valid)[:, None]).reshape(-1))
+
+        # --- static anchor edges: camera vs fixed static map points
+        if sp_kf is not None:
+            uv_s = jax.vmap(proj)(kf_tcw[sp_kf], sp_pts)
+            r_sp = (uv_s - sp_uv) * sp_si[:, None]
+            chi2_s = jnp.sum(r_sp * r_sp, axis=-1)
+            ws = lax.stop_gradient(huber_weight(chi2_s, HUBER_MONO))
+            parts.append((r_sp * (ws * sp_valid)[:, None]).reshape(-1))
         return jnp.concatenate(parts)
 
     cam_mask = jnp.repeat(~kf_fixed, 6)

@@ -873,20 +873,45 @@ class RgbdTracker(MonocularTracker):
     and triangulation (StereoInitialization, Tracking.cc:783-850; depth-based
     map-point creation in CreateNewKeyFrame). Metric scale is inherent."""
 
-    def __init__(self, K, img_wh, config=None, depth_max=8.0):
+    def __init__(self, K, img_wh, config=None, depth_max=8.0, init_Twc=None):
+        """init_Twc: optional pose of the FIRST camera in a gravity-aligned
+        world (the reference's InitToGround, Tracking.cc:110-143). When
+        given, the map world is that frame (z-up) instead of the first
+        camera — required by planar object motion models."""
         super().__init__(K, img_wh, config)
         self.depth_max = depth_max
         self._pending_depth = None
+        self.init_Tcw = (np_geo.inv_T(np.asarray(init_Twc, dtype=np.float64))
+                         .astype(np.float32) if init_Twc is not None
+                         else np.eye(4, dtype=np.float32))
 
     def track(self, gray, depth=None):
         self._pending_depth = depth
         return super().track(gray)
 
     def _kp_depths(self, feats, depth_img):
-        xi = np.clip(feats.xy[:, 0].astype(int), 0, depth_img.shape[1] - 1)
-        yi = np.clip(feats.xy[:, 1].astype(int), 0, depth_img.shape[0] - 1)
-        d = depth_img[yi, xi]
-        return np.where(feats.valid & (d > 0.1) & (d < self.depth_max), d, 0.0)
+        """Bilinear depth at subpixel keypoint locations; invalid when any
+        corner of the interpolation cell is missing."""
+        H, W = depth_img.shape
+        x = np.clip(feats.xy[:, 0], 0.0, W - 1.001)
+        y = np.clip(feats.xy[:, 1], 0.0, H - 1.001)
+        x0 = x.astype(int)
+        y0 = y.astype(int)
+        fx = x - x0
+        fy = y - y0
+        d00 = depth_img[y0, x0]
+        d01 = depth_img[y0, x0 + 1]
+        d10 = depth_img[y0 + 1, x0]
+        d11 = depth_img[y0 + 1, x0 + 1]
+        corners_ok = (d00 > 0.1) & (d01 > 0.1) & (d10 > 0.1) & (d11 > 0.1)
+        d_bil = (d00 * (1 - fx) * (1 - fy) + d01 * fx * (1 - fy)
+                 + d10 * (1 - fx) * fy + d11 * fx * fy)
+        # sparse depth (stereo keypoint depth images): nearest-pixel value
+        d_near = depth_img[np.clip(np.round(y).astype(int), 0, H - 1),
+                           np.clip(np.round(x).astype(int), 0, W - 1)]
+        d = np.where(corners_ok, d_bil, d_near)
+        ok = feats.valid & (d > 0.1) & (d < self.depth_max)
+        return np.where(ok, d, 0.0).astype(np.float32)
 
     def _backproject(self, feats, d, Tcw):
         Kinv = np.linalg.inv(self.K.astype(np.float64))
@@ -902,9 +927,9 @@ class RgbdTracker(MonocularTracker):
         good = d > 0
         if good.sum() < 50:
             return False
-        kf0 = self._insert_keyframe_raw(feats, np.eye(4, dtype=np.float32), self.frame_id)
+        kf0 = self._insert_keyframe_raw(feats, self.init_Tcw.copy(), self.frame_id)
         self.map.kf_kp_depth[kf0, : len(d)] = d
-        pts = self._backproject(feats, d, np.eye(4, dtype=np.float32))
+        pts = self._backproject(feats, d, self.init_Tcw)
         sel = np.where(good)[0]
         ids = self.map.alloc_mps(len(sel))
         m = self.map
@@ -916,7 +941,7 @@ class RgbdTracker(MonocularTracker):
         m.mp_nobs[ids] = 1
         m.kf_kp_mp[kf0, sel] = ids
         self._refresh_mp_geometry(ids)
-        self.last_Tcw = np.eye(4, dtype=np.float32)
+        self.last_Tcw = self.init_Tcw.copy()
         self.velocity = np.eye(4, dtype=np.float32)
         self.ref_kf = kf0
         self.last_kf_frame_id = self.frame_id
