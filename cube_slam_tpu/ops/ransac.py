@@ -15,12 +15,19 @@ import numpy as np
 
 
 @functools.partial(jax.jit, static_argnames=())
-def fit_plane_ransac(points, valid, sample_idx, inlier_thresh):
+def fit_plane_ransac(points, valid, sample_idx, inlier_thresh,
+                     expected_normal=None, min_normal_cos=0.0):
     """Plane RANSAC: points (N, 3), valid (N,), sample_idx (S, 3) int.
 
     Returns (plane (4,) [n, d] with |n|=1 and n·p + d = 0, inlier_mask (N,),
     n_inliers). Hypotheses from 3-point samples, scored by point-plane
     distance, best refined by least squares on its inliers (PCA plane).
+
+    expected_normal/min_normal_cos: optional hypothesis gate — candidate
+    planes whose normal deviates from the expectation are rejected BEFORE
+    scoring (the ground-plane fit must not lock onto walls even when wall
+    points dominate the candidate set; PCL SACSegmentation offers the same
+    via setAxis/setEpsAngle).
     """
     p0 = points[sample_idx[:, 0]]  # (S, 3)
     p1 = points[sample_idx[:, 1]]
@@ -33,6 +40,11 @@ def fit_plane_ransac(points, valid, sample_idx, inlier_thresh):
     dist = jnp.abs(points @ n.T + d[None, :])  # (N, S)
     inl = (dist < inlier_thresh) & valid[:, None]
     counts = jnp.sum(inl, axis=0)
+    if expected_normal is not None:
+        exp_n = jnp.asarray(expected_normal, dtype=n.dtype)
+        exp_n = exp_n / jnp.maximum(jnp.linalg.norm(exp_n), 1e-12)
+        gate = jnp.abs(n @ exp_n) >= min_normal_cos
+        counts = jnp.where(gate, counts, -1)
     best = jnp.argmax(counts)
     inlier = inl[:, best]
 

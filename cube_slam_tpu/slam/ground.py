@@ -82,9 +82,13 @@ class GroundScaleEstimator:
         pts[:take] = pts_cam[:take]
         valid[:take] = True
         samples = ransac.make_triplet_indices(valid, n_hyp=cfg.n_hypotheses, seed=seed)
+        # gate plane hypotheses to near-ground normals so the fit cannot
+        # lock onto walls when they dominate the candidate region
         plane, inlier, n_in = ransac.fit_plane_ransac(
             jnp.asarray(pts), jnp.asarray(valid), jnp.asarray(samples),
             jnp.float32(cfg.inlier_thresh),
+            expected_normal=jnp.asarray(cam_ground_normal, dtype=jnp.float32),
+            min_normal_cos=jnp.float32(np.cos(np.deg2rad(cfg.max_normal_angle_deg))),
         )
         plane = np.array(plane)
         n_in = int(n_in)

@@ -1,0 +1,276 @@
+"""KITTI-mode monocular object SLAM — the reference's headline configuration.
+
+Re-design of the mono-KITTI pipeline (Examples/Monocular/mono_kitti.cc:37-58
++ Tracking_util.cc:25-206 + Tracking.cc:1553-1580, :1925-1961, :2433-2663):
+
+* file-driven frame sequence (utils/io.KittiSequence),
+* OFFLINE per-frame cuboid txts with ground-truth tracklet ids feeding the
+  object pipeline instead of the live detector,
+* fixed-scale car prior 1.9420 x 0.8143 x 0.7631 on object landmarks
+  (Tracking.cc:1949-1957, Optimizer.cc:994),
+* monocular scale initialization from object depth
+  (MonoObjDepthInitialization, Tracking.cc:852-930),
+* ground-plane scale recovery every few keyframes (Tracking.cc:2433-2663),
+* camera + point + object local BA with fix-scale cuboid vertices.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+from ..utils import np_geometry as np_geo
+from .ground import GroundConfig, GroundScaleEstimator
+from .objects import ObjectManager
+from .system import MonocularTracker, ObjectSlamTracker, TrackerConfig
+
+logger = logging.getLogger("cube_slam_tpu")
+
+KITTI_CAR_PRIOR = (1.9420, 0.8143, 0.7631)
+
+
+def _ray_cuboid_depth(K, xy, local_pose, scale):
+    """Camera-frame z of the first hit of each pixel ray with the cuboid
+    (slab test in the object frame). xy: (N, 2). Returns (N,) z (0 = miss)."""
+    if len(xy) == 0:
+        return np.zeros(0, dtype=np.float32)
+    Kinv = np.linalg.inv(np.asarray(K, dtype=np.float64))
+    rays = np.concatenate([xy, np.ones((len(xy), 1))], axis=1) @ Kinv.T
+    inv_P = np_geo.inv_T(np.asarray(local_pose, dtype=np.float64))
+    o = np.broadcast_to(inv_P[:3, 3], rays.shape)
+    dvec = rays @ inv_P[:3, :3].T
+    s = np.asarray(scale, dtype=np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t1 = (-s - o) / dvec
+        t2 = (s - o) / dvec
+    t_near = np.nanmax(np.minimum(t1, t2), axis=1)
+    t_far = np.nanmin(np.maximum(t1, t2), axis=1)
+    hit = (t_near <= t_far) & (t_near > 0.1)
+    # camera-frame z of the hit: ray has unit z, so z = t (ray param)
+    return np.where(hit, t_near, 0.0).astype(np.float32)
+
+
+class KittiMonoTracker(ObjectSlamTracker):
+    """Monocular tracker driven by offline per-frame cuboid txts with
+    tracklet ids (the reference's `whether_read_offline_cuboidtxt` +
+    `use_truth_trackid` KITTI mode)."""
+
+    def __init__(self, K, img_wh, offline_cuboids, init_to_ground,
+                 config: TrackerConfig | None = None,
+                 use_truth_trackid=True, car_prior=KITTI_CAR_PRIOR,
+                 ground_cfg: GroundConfig | None = None,
+                 camera_object_weight=1.0,
+                 cam_ground_normal=(0.0, -1.0, 0.0),
+                 firstframe_depth_init=False):
+        MonocularTracker.__init__(self, K, img_wh, config)
+        self.objects = ObjectManager(detector=None,
+                                     fixed_scale_prior=car_prior)
+        self.offline = offline_cuboids  # list per frame of (N, 12|13) rows
+        self.init_to_ground = np.asarray(init_to_ground, dtype=np.float64)
+        self.use_truth_trackid = use_truth_trackid
+        self.camera_object_weight = camera_object_weight
+        self.ground = GroundScaleEstimator(ground_cfg)
+        self.cam_ground_normal = cam_ground_normal
+        self.ground_align = None
+        self.mono_scale_initialized = False
+        self.n_scale_recoveries = 0
+        self.firstframe_depth_init = firstframe_depth_init
+        self._anchor_scales = []  # applied object-depth scale corrections
+
+    # ------------------------------------------------------------------
+    def track(self, gray):
+        was_uninit = self.state == "NOT_INITIALIZED"
+        out = MonocularTracker.track(self, gray)
+        if was_uninit and self.state == "OK":
+            self._offline_depth_scale_init()
+        return out
+
+    def _rows_for(self, frame_id):
+        if self.offline is not None and 0 <= frame_id < len(self.offline):
+            rows = self.offline[frame_id]
+            if rows is not None and np.size(rows):
+                return np.atleast_2d(rows)
+        return None
+
+    # ------------------------------------------------------------------
+    def _try_initialize(self, feats):
+        """mono_firstframe_Obj_depth_init (MonoObjDepthInitialization,
+        Tracking.cc:852-930): when the first frame carries an object
+        measurement, bootstrap the map single-frame by unprojecting the
+        object's keypoints at the cuboid's metric camera depth — the map is
+        METRIC from frame zero. Falls back to two-view initialization.
+
+        Off by default: with few in-box features the bootstrapped map is
+        small and near-coplanar, which makes frame-to-frame tracking
+        fragile (the reference gates it on N > 500 features); the two-view
+        init + per-keyframe object-depth anchor is the robust path."""
+        rows = self._rows_for(self.frame_id)
+        if self.firstframe_depth_init and rows is not None:
+            d = np.zeros(len(feats.valid), dtype=np.float32)
+            for r in rows:
+                pose_g, scale = np_geo.minimal9_to_pose_scale(
+                    [r[0], r[1], r[2], 0.0, 0.0, r[3], r[4], r[5], r[6]])
+                local_pose = np_geo.inv_T(self.init_to_ground) @ pose_g
+                if float(local_pose[2, 3]) <= 0.5:
+                    continue
+                x, y, w, h = r[7:11]
+                inside = (feats.valid
+                          & (feats.xy[:, 0] >= x) & (feats.xy[:, 0] <= x + w)
+                          & (feats.xy[:, 1] >= y) & (feats.xy[:, 1] <= y + h))
+                # per-keypoint depth from exact ray-cuboid intersection
+                # (sharper than the reference's constant cuboid-center z)
+                d_ray = _ray_cuboid_depth(self.K, feats.xy[inside],
+                                          local_pose, scale)
+                di = np.where(d_ray > 0, d_ray, float(local_pose[2, 3]))
+                d[inside] = di
+            if (d > 0).sum() >= 30:
+                ok = self._depth_seed_initialize(feats, d)
+                if ok:
+                    self.mono_scale_initialized = True
+                    logger.info("mono map bootstrapped from object depth "
+                                "(%d points)", int((d > 0).sum()))
+                    return True
+        return MonocularTracker._try_initialize(self, feats)
+
+    def _depth_seed_initialize(self, feats, d):
+        """Single-keyframe map bootstrap from per-keypoint depths."""
+        m = self.map
+        good = d > 0
+        kf0 = self._insert_keyframe_raw(feats, np.eye(4, dtype=np.float32),
+                                        self.frame_id)
+        Kinv = np.linalg.inv(self.K.astype(np.float64))
+        uv1 = np.concatenate([feats.xy, np.ones((len(feats.xy), 1))], axis=1)
+        pts = (uv1 @ Kinv.T) * d[:, None]
+        sel = np.where(good)[0]
+        ids = m.alloc_mps(len(sel))
+        m.mp_pos[ids] = pts[sel].astype(np.float32)
+        m.mp_valid[ids] = True
+        m.mp_desc[ids] = feats.desc[sel]
+        m.mp_level[ids] = feats.level[sel]
+        m.mp_first_kf[ids] = kf0
+        m.mp_nobs[ids] = 1
+        m.kf_kp_mp[kf0, sel] = ids
+        self._refresh_mp_geometry(ids)
+        self.last_Tcw = np.eye(4, dtype=np.float32)
+        self.velocity = np.eye(4, dtype=np.float32)
+        self.ref_kf = kf0
+        self.last_kf_frame_id = self.frame_id
+        feats.mp = m.kf_kp_mp[kf0].copy()
+        self.last_frame = feats
+        return True
+
+    # ------------------------------------------------------------------
+    def _offline_depth_scale_init(self, min_points=5):
+        """Object-depth scale anchor (MonoObjDepthInitialization's role,
+        Tracking.cc:852-930): compare each in-box mapped point's estimated
+        camera depth against its metric ray-cuboid depth and rescale the
+        map by the median ratio. Re-applied per keyframe — once the scale
+        is metric the ratio is ~1 and the correction is a no-op."""
+        rows = self._rows_for(self.frame_id)
+        if rows is None:
+            return
+        m = self.map
+        k = self.ref_kf
+        ratios = []
+        Tcw = m.kf_tcw[k]
+        kp_xy = m.kf_kp_xy[k]
+        mp = m.kf_kp_mp[k]
+        for r in rows:
+            pose_g, scale3 = np_geo.minimal9_to_pose_scale(
+                [r[0], r[1], r[2], 0.0, 0.0, r[3], r[4], r[5], r[6]])
+            local_pose = np_geo.inv_T(self.init_to_ground) @ pose_g
+            if float(local_pose[2, 3]) <= 0.5:
+                continue
+            x, y, w, h = r[7:11]
+            inside = ((mp >= 0)
+                      & (kp_xy[:, 0] >= x) & (kp_xy[:, 0] <= x + w)
+                      & (kp_xy[:, 1] >= y) & (kp_xy[:, 1] <= y + h))
+            sel = np.where(inside)[0]
+            ids = mp[sel]
+            keep = m.mp_valid[ids]
+            sel, ids = sel[keep], ids[keep]
+            if len(ids) == 0:
+                continue
+            d_metric = _ray_cuboid_depth(self.K, kp_xy[sel], local_pose, scale3)
+            z_est = (m.mp_pos[ids] @ Tcw[:3, :3].T + Tcw[:3, 3])[:, 2]
+            ok = (d_metric > 0) & (z_est > 1e-6)
+            ratios.extend((d_metric[ok] / z_est[ok]).tolist())
+        if len(ratios) < min_points:
+            return
+        scale = float(np.median(ratios))
+        if not (0.02 < scale < 50.0):
+            return
+        GroundScaleEstimator.apply_scale(m, k, scale)
+        self.last_Tcw = m.kf_tcw[k].copy()
+        # the motion model's translation lives in map units (Tracking.cc
+        # rescales mVelocity the same way, :2640-2646)
+        self.velocity[:3, 3] *= scale
+        self._anchor_scales.append(scale)
+        self.mono_scale_initialized = True
+        if abs(scale - 1.0) > 0.02:
+            logger.info("object-depth scale anchor: x%.3f", scale)
+
+    # ------------------------------------------------------------------
+    def _create_keyframe(self, feats):
+        MonocularTracker._create_keyframe(self, feats)
+        k = self.ref_kf
+        # re-anchor scale at each keyframe with a visible object (no-op
+        # once the map is metric)
+        self._offline_depth_scale_init()
+        if not self.mono_scale_initialized:
+            # a METRIC fixed-scale object prior on a not-yet-metric map
+            # would fight the reprojection edges and corrupt the in-box
+            # points the anchor needs — defer the object pipeline
+            return
+        rows = self._rows_for(self.frame_id)
+        dets = self.objects.ingest_offline(
+            self.map, k, rows, self.init_to_ground,
+            use_truth_trackid=self.use_truth_trackid)
+        if self.use_truth_trackid:
+            self.objects.associate_by_tracklet(self.map, k, dets)
+        else:
+            self.objects.associate(self.map, k, dets)
+        self.objects.cull(self.map)
+        if self.objects.store.valid.any():
+            self._object_ba(k)
+
+        # ground-scale recovery cadence (Tracking.cc:2433-2663)
+        s = self.ground.try_recover(self.map, k, self.img_wh,
+                                    cam_ground_normal=self.cam_ground_normal,
+                                    seed=self.frame_id)
+        if s is not None and 0.5 < s < 2.0:
+            GroundScaleEstimator.apply_scale(self.map, k, s)
+            self.last_Tcw = self.map.kf_tcw[k].copy()
+            self.velocity[:3, 3] *= s
+            self.n_scale_recoveries += 1
+            logger.info("ground scale recovery #%d: x%.3f",
+                        self.n_scale_recoveries, s)
+
+
+def run_kitti_sequence(seq, init_to_ground, config=None, max_frames=None,
+                       use_truth_trackid=True, output_prefix=None,
+                       ground_cfg=None):
+    """Drive a KittiSequence end-to-end and optionally dump trajectories +
+    optimized cuboids (the mono_kitti.cc main loop + SaveTrajectory*)."""
+    from ..utils import serialization as ser
+
+    n = seq.num_frames if max_frames is None else min(seq.num_frames, max_frames)
+    offline = seq.offline_cuboids(use_truth_trackid=use_truth_trackid)
+    first = seq.gray(0)
+    img_wh = (first.shape[1], first.shape[0])
+    tracker = KittiMonoTracker(
+        seq.K, img_wh, offline, init_to_ground, config=config,
+        use_truth_trackid=use_truth_trackid, ground_cfg=ground_cfg)
+    tracker.track(first)
+    for i in range(1, n):
+        tracker.track(seq.gray(i))
+    if output_prefix:
+        stamps = (seq.times[:n] if seq.times is not None
+                  else np.arange(n, dtype=np.float64))
+        poses = [T for _, T in tracker.trajectory]
+        ser.save_trajectory_tum(output_prefix + "_tum.txt", stamps, poses)
+        ser.save_trajectory_kitti(output_prefix + "_kitti.txt", poses)
+        ser.save_cuboids_txt(output_prefix + "_cuboids.txt",
+                             tracker.objects.store)
+    return tracker

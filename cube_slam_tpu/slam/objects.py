@@ -38,6 +38,7 @@ class Detection:
     quality: float
     owned_kps: np.ndarray    # keypoint indices inside the box
     landmark: int = -1       # associated object id
+    tracklet_id: int = -1    # ground-truth tracklet id (KITTI offline mode)
 
 
 @dataclass
@@ -66,7 +67,7 @@ class ObjectManager:
 
     def __init__(self, detector, store: ObjectStore | None = None,
                  min_owned_points=20, min_shared_votes=8, bbox_overlap_max=0.15,
-                 min_obs_to_promote=2):
+                 min_obs_to_promote=2, fixed_scale_prior=None):
         self.detector = detector
         self.store = store or ObjectStore()
         self.detections: list[Detection] = []
@@ -74,6 +75,12 @@ class ObjectManager:
         self.min_shared_votes = min_shared_votes
         self.bbox_overlap_max = bbox_overlap_max
         self.min_obs_to_promote = min_obs_to_promote
+        # KITTI car prior (Tracking.cc:1949-1957, Optimizer.cc:994):
+        # landmarks get this FIXED half-scale when set
+        self.fixed_scale_prior = (
+            np.asarray(fixed_scale_prior, dtype=np.float32)
+            if fixed_scale_prior is not None else None)
+        self.trackletid_to_landmark: dict[int, int] = {}
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -130,6 +137,103 @@ class ObjectManager:
             self.detections.append(det)
             out.append(det)
         return out
+
+    # ------------------------------------------------------------------
+    def ingest_offline(self, map_state, kf_id, rows, init_to_ground,
+                       use_truth_trackid=False):
+        """Offline per-frame cuboid txt rows -> camera-frame Detections
+        (Tracking.cc:1553-1580 + measurement wrapping :1626-1694).
+
+        rows: (N, 12|13) [center(3) yaw scale(3) x1 y1 w h prob (tid)] in
+        the LOCAL GROUND frame; init_to_ground: the (approximately
+        constant) camera-to-ground transform — cube_local_meas =
+        inv(init_to_ground) o pose_localground. Quality = confidence x
+        (60 - clamp(z, 10, 30)) / 40 (Tracking.cc:1683-1689)."""
+        if rows is None or len(rows) == 0:
+            return []
+        rows = np.atleast_2d(np.asarray(rows, dtype=np.float64))
+        Tgc = np_geo.inv_T(np.asarray(init_to_ground, dtype=np.float64))
+        m = map_state
+        kp_xy = m.kf_kp_xy[kf_id]
+        kp_ok = m.kf_kp_valid[kf_id]
+        out = []
+        for r in rows:
+            pose_g, scale = np_geo.minimal9_to_pose_scale(
+                [r[0], r[1], r[2], 0.0, 0.0, r[3], r[4], r[5], r[6]])
+            local_pose = (Tgc @ pose_g).astype(np.float32)
+            x, y, w, h = r[7:11]
+            prob = float(r[11]) if len(r) > 11 else 1.0
+            tid = int(r[12]) if (use_truth_trackid and len(r) > 12) else -1
+            z = float(np.clip(local_pose[2, 3], 10.0, 30.0))
+            quality = (60.0 - z) / 40.0
+            if prob > 0:
+                quality *= prob
+            inside = (
+                kp_ok
+                & (kp_xy[:, 0] >= x) & (kp_xy[:, 0] <= x + w)
+                & (kp_xy[:, 1] >= y) & (kp_xy[:, 1] <= y + h)
+            )
+            det = Detection(
+                kf_id=kf_id, local_pose=local_pose,
+                scale=scale.astype(np.float32),
+                bbox=np.array([x + w / 2.0, y + h / 2.0, w, h], dtype=np.float32),
+                quality=float(max(quality, 0.1)),
+                owned_kps=np.where(inside)[0],
+                tracklet_id=tid,
+            )
+            self.detections.append(det)
+            out.append(det)
+        return out
+
+    def _new_landmark(self, map_state, det):
+        """Create a landmark from a detection (SetAsLandmark + the KITTI
+        fixed-scale reset, Tracking.cc:1943-1961)."""
+        st = self.store
+        o = st.alloc()
+        if o < 0:
+            logger.warning("object store full; dropping landmark")
+            return -1
+        Twc = np_geo.inv_T(map_state.kf_tcw[det.kf_id].astype(np.float64))
+        st.pose[o] = (Twc @ det.local_pose).astype(np.float32)
+        if self.fixed_scale_prior is not None:
+            st.scale[o] = self.fixed_scale_prior
+            st.fix_scale[o] = True
+        else:
+            st.scale[o] = det.scale
+        st.valid[o] = True
+        st.n_obs[o] = 1
+        st.quality[o] = det.quality
+        return o
+
+    def associate_by_tracklet(self, map_state, kf_id, dets):
+        """Ground-truth tracklet-id association (Tracking.cc:1925-1982):
+        each tracklet id maps to one landmark; new ids create landmarks
+        (with the fixed-scale prior in KITTI mode); repeat sightings update
+        the landmark pose to the latest measurement (SetWorldPos)."""
+        m = map_state
+        st = self.store
+        for det in dets:
+            if det.tracklet_id < 0:
+                continue
+            o = self.trackletid_to_landmark.get(det.tracklet_id, -1)
+            if o < 0 or not st.valid[o]:
+                o = self._new_landmark(m, det)
+                if o < 0:
+                    continue
+                self.trackletid_to_landmark[det.tracklet_id] = o
+            else:
+                Twc = np_geo.inv_T(m.kf_tcw[det.kf_id].astype(np.float64))
+                pose_w = (Twc @ det.local_pose).astype(np.float32)
+                if self.fixed_scale_prior is None:
+                    st.scale[o] = det.scale
+                st.pose[o] = pose_w
+                st.n_obs[o] += 1
+                st.quality[o] = max(st.quality[o], det.quality)
+            det.landmark = int(o)
+            owned_mps = m.kf_kp_mp[det.kf_id, det.owned_kps]
+            owned_mps = owned_mps[owned_mps >= 0]
+            if len(owned_mps):
+                m.mp_best_obj[owned_mps] = det.landmark
 
     # ------------------------------------------------------------------
     def associate(self, map_state, kf_id, dets):

@@ -93,7 +93,12 @@ class MonocularTracker:
         self.frame_id = -1
         self.last_kf_frame_id = -1
         self.ref_kf = -1
-        self.trajectory = []  # (frame_id, Tcw)
+        self.trajectory = []  # (frame_id, Tcw) as tracked (not retro-corrected)
+        # relative trajectory (mlRelativeFramePoses, System.cc:301-364):
+        # (frame_id, ref_kf, ref_kf_frame_id, T_frame_wrt_ref) — recomposed
+        # against the CURRENT keyframe poses so loop corrections and map
+        # rescaling retroactively fix past frames
+        self._traj_rel = []
         self.tracked_inliers = 0
         from .loop_closing import LoopDetector
 
@@ -125,6 +130,7 @@ class MonocularTracker:
             if ok:
                 self.state = "OK"
                 self.trajectory.append((self.frame_id, self.last_Tcw.copy()))
+                self._record_pose(self.last_Tcw)
                 return self.last_Tcw.copy()
             self.trajectory.append((self.frame_id, None))
             return None
@@ -136,6 +142,7 @@ class MonocularTracker:
             return None
         self.state = "OK"
         self.trajectory.append((self.frame_id, self.last_Tcw.copy()))
+        self._record_pose(self.last_Tcw)
         if self._need_new_keyframe():
             self._create_keyframe(feats)
         self.last_frame = feats
@@ -862,10 +869,45 @@ class MonocularTracker:
                 removed += 1
         return removed
 
+    def _record_pose(self, Tcw):
+        """Store the frame pose relative to the current reference keyframe
+        (SaveTrajectoryTUM's mechanism: corrections applied to keyframes
+        later — loop closing, scale recovery — propagate to every frame)."""
+        if self.ref_kf >= 0 and self.map.kf_valid[self.ref_kf]:
+            T_rel = np.asarray(Tcw, dtype=np.float64) @ np_geo.inv_T(
+                self.map.kf_tcw[self.ref_kf].astype(np.float64))
+            self._traj_rel.append(
+                (self.frame_id, int(self.ref_kf),
+                 int(self.map.kf_frame_id[self.ref_kf]), T_rel))
+        else:
+            self._traj_rel.append((self.frame_id, -1, -1,
+                                   np.asarray(Tcw, dtype=np.float64)))
+
     # ------------------------------------------------------------------
     def poses(self):
         """List of (frame_id, Tcw or None) for the whole run."""
         return self.trajectory
+
+    def final_trajectory(self):
+        """(frame_id, Tcw or None) RECOMPOSED through the current keyframe
+        poses — reflects loop closures and scale recoveries applied after
+        the frame was tracked (System::SaveTrajectoryTUM, System.cc:301)."""
+        by_fid = {}
+        for fid, ref, ref_fid, T_rel in self._traj_rel:
+            if (ref >= 0 and self.map.kf_valid[ref]
+                    and int(self.map.kf_frame_id[ref]) == ref_fid):
+                by_fid[fid] = (T_rel @ self.map.kf_tcw[ref].astype(np.float64)
+                               ).astype(np.float32)
+            else:
+                by_fid[fid] = None
+        out = []
+        for fid, T in self.trajectory:
+            if T is None:
+                out.append((fid, None))
+            else:
+                rec = by_fid.get(fid)
+                out.append((fid, rec if rec is not None else T))
+        return out
 
 
 class RgbdTracker(MonocularTracker):
