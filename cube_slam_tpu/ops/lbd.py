@@ -115,6 +115,39 @@ def lbd_descriptors(img, lines, valid):
     return fdesc, jnp.where(valid[:, None], bdesc, 0)
 
 
+def describe_lines_pyramid(img, n_octaves=2, detector="lsd", max_lines=128,
+                           **detect_kwargs):
+    """Detect + describe lines over a Gaussian octave pyramid — the
+    LSDDetector octave loop + per-octave computeLBD_
+    (line_lbd_allclass.cpp:282-337, binary_descriptor.cpp:2379,
+    LSDDetector.cpp:55-73). Descriptors are computed on each OCTAVE image
+    with octave-local coordinates; endpoints are reported in BASE pixels.
+
+    Returns dict: lines (n_octaves*max_lines, 4) base px, octave (n,) i32,
+    valid (n,) bool, fdesc (n, 72), bdesc (n, 8) uint32. The merged
+    descriptor set feeds match_lines directly (cross-octave matching, as
+    the reference's matchLBD over all KeyLines).
+    """
+    from . import lsd as lsd_ops
+
+    pyr = lsd_ops.detect_lines_pyramid(
+        img, n_octaves=n_octaves, detector=detector, max_lines=max_lines,
+        **detect_kwargs)
+    fds, bds = [], []
+    for o, im in enumerate(pyr["octave_images"]):
+        sl = slice(o * max_lines, (o + 1) * max_lines)
+        fd, bd = lbd_descriptors(im, pyr["lines_octave"][sl], pyr["valid"][sl])
+        fds.append(fd)
+        bds.append(bd)
+    return {
+        "lines": pyr["lines_base"],
+        "octave": pyr["octave"],
+        "valid": pyr["valid"],
+        "fdesc": jnp.concatenate(fds, axis=0),
+        "bdesc": jnp.concatenate(bds, axis=0),
+    }
+
+
 def match_lines(desc1, valid1, desc2, valid2, max_dist=80, ratio=0.9):
     """Binary line matching (BinaryDescriptorMatcher analog): dense Hamming
     + mutual/ratio filtering. Returns (match (N1,) idx or -1, dist)."""

@@ -30,6 +30,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from . import image as im_ops
+
 _ANGLE_TOL = jnp.deg2rad(22.5)
 
 
@@ -94,27 +96,23 @@ def _propagate_labels(labels, angle, active, num_iters):
     return lax.fori_loop(0, num_iters, body, labels)
 
 
-@functools.partial(jax.jit, static_argnames=("max_lines", "num_prop_iters"))
-def detect_lines(
-    img,
-    mag_threshold=5.22,
-    min_pixels=20,
-    min_length=15.0,
-    min_density=0.5,
-    max_width_ratio=0.25,
-    max_lines=128,
-    num_prop_iters=32,
+def _fit_lines_from_support(
+    active,
+    angle,
+    mag,
+    min_pixels,
+    min_length,
+    min_density,
+    max_width_ratio,
+    max_lines,
+    num_prop_iters,
+    max_abs_width=None,
 ):
-    """(H, W) f32 grayscale -> (lines (max_lines, 4), valid (max_lines,)).
-
-    mag_threshold: LSD's rho = 2 / sin(tol) * (q/255-quantization) default
-    (~5.22 for q=2). Lines sorted by length descending, [x1 y1 x2 y2] with
-    x1 <= x2 (align_left_right_edges convention).
-    """
-    H, W = img.shape
+    """Shared SPMD core: support mask + per-pixel angle/weight ->
+    (lines (max_lines, 4), valid). Angle-constrained connected components,
+    weighted-PCA line fit, geometric filters, top-k by length."""
+    H, W = active.shape
     N = H * W
-    gx, gy, mag, angle = _lsd_gradients(img)
-    active = mag > mag_threshold
 
     init_labels = jnp.where(
         active, jnp.arange(N, dtype=jnp.int32).reshape(H, W), jnp.int32(N + 1)
@@ -175,6 +173,10 @@ def detect_lines(
         & (width <= jnp.maximum(max_width_ratio * length, 3.0))
         & (density >= min_density)
     )
+    if max_abs_width is not None:
+        # EDLine-style straightness bound: member pixels must stay within a
+        # fixed orthogonal distance of the fitted line (lineFitErrThreshold)
+        good = good & (width <= max_abs_width)
     good = good.at[N:].set(False)  # trash bins
 
     x1 = cx + s_min * ex
@@ -196,3 +198,99 @@ def detect_lines(
     valid = top_score > 0
     lines = jnp.where(valid[:, None], lines, 0.0)
     return lines, valid
+
+
+@functools.partial(jax.jit, static_argnames=("max_lines", "num_prop_iters"))
+def detect_lines(
+    img,
+    mag_threshold=5.22,
+    min_pixels=20,
+    min_length=15.0,
+    min_density=0.5,
+    max_width_ratio=0.25,
+    max_lines=128,
+    num_prop_iters=32,
+):
+    """LSD flavor: (H, W) f32 grayscale -> (lines (max_lines, 4), valid).
+
+    Support = pixels with gradient magnitude above LSD's rho
+    (~5.22 for q=2: 2 / sin(tol) * q/255-quantization). Lines sorted by
+    length descending, [x1 y1 x2 y2] with x1 <= x2
+    (align_left_right_edges convention).
+    """
+    gx, gy, mag, angle = _lsd_gradients(img)
+    active = mag > mag_threshold
+    return _fit_lines_from_support(
+        active, angle, mag, min_pixels, min_length, min_density,
+        max_width_ratio, max_lines, num_prop_iters)
+
+
+@functools.partial(jax.jit, static_argnames=("max_lines", "num_prop_iters"))
+def detect_edlines(
+    img,
+    grad_threshold=30.0,
+    min_pixels=12,
+    min_length=15.0,
+    max_fit_width=2.5,
+    max_lines=128,
+    num_prop_iters=32,
+):
+    """EDLine flavor (binary_descriptor.cpp:792-818 EDLineDetector).
+
+    EDLine walks 1-px edge chains drawn from gradient anchors and fits
+    segments with a bounded fit error. SPMD re-design: the NMS-thinned
+    edge map (ops/image.canny_nms — the same anchor/peak criterion) is the
+    support set; angle-constrained components group chain pixels; the PCA
+    fit's minor-axis width bound enforces EDLine's lineFitErrThreshold.
+    Thin supports make the density/width-ratio filters of LSD moot, so the
+    straightness bound (max_fit_width, px) is the selective filter.
+    """
+    strong, _weak = im_ops.canny_nms(img, low=grad_threshold, high=grad_threshold)
+    _gx, _gy, mag, angle = _lsd_gradients(img)
+    active = strong & (mag > 1e-3)
+    return _fit_lines_from_support(
+        active, angle, mag, min_pixels, min_length, 0.0, 1e9,
+        max_lines, num_prop_iters, max_abs_width=max_fit_width)
+
+
+def detect_lines_pyramid(
+    img,
+    n_octaves=2,
+    detector="lsd",
+    max_lines=128,
+    min_length=15.0,
+    **kwargs,
+):
+    """Octave-pyramid detection (LSDDetector.cpp:55-73 + the per-octave
+    loop of line_lbd_allclass.cpp:282-337): Gaussian pyrDown per octave,
+    detect on each octave image, rescale endpoints to base-image pixels.
+
+    Returns dict with:
+      lines_base (n_octaves*max_lines, 4) — endpoints in BASE pixels,
+      lines_octave (same shape)           — endpoints in octave pixels,
+      octave (n,) int32, valid (n,) bool,
+      octave_images: list of the n_octaves pyramid images (for per-octave
+      descriptor computation, the reference's computeLBD_(octaveImages)).
+    """
+    detect = {"lsd": detect_lines, "edline": detect_edlines}[detector]
+    imgs = [jnp.asarray(img, dtype=jnp.float32)]
+    for _ in range(n_octaves - 1):
+        imgs.append(im_ops.pyr_down(imgs[-1]))
+
+    all_lines_base, all_lines_oct, all_oct, all_valid = [], [], [], []
+    for o, im in enumerate(imgs):
+        # same metric length threshold across octaves (octave pixels are
+        # 2^o base pixels)
+        ln, va = detect(im, min_length=min_length / (2.0**o),
+                        max_lines=max_lines, **kwargs)
+        all_lines_oct.append(ln)
+        all_lines_base.append(ln * (2.0**o))
+        all_oct.append(jnp.full((max_lines,), o, dtype=jnp.int32))
+        all_valid.append(va)
+    return {
+        "lines_base": jnp.concatenate(all_lines_base, axis=0),
+        "lines_octave": jnp.concatenate(all_lines_oct, axis=0),
+        "octave": jnp.concatenate(all_oct, axis=0),
+        "valid": jnp.concatenate(all_valid, axis=0),
+        "octave_images": imgs,
+    }
