@@ -84,7 +84,13 @@ class KittiMonoTracker(ObjectSlamTracker):
         out = MonocularTracker.track(self, gray)
         if was_uninit and self.state == "OK":
             self._offline_depth_scale_init()
+            self._bump_map()
         return out
+
+    def reset(self):
+        ObjectSlamTracker.reset(self)
+        self.ground = GroundScaleEstimator(self.ground.cfg)
+        self._anchor_scales = []
 
     def _rows_for(self, frame_id):
         if self.offline is not None and 0 <= frame_id < len(self.offline):
@@ -144,6 +150,7 @@ class KittiMonoTracker(ObjectSlamTracker):
         pts = (uv1 @ Kinv.T) * d[:, None]
         sel = np.where(good)[0]
         ids = m.alloc_mps(len(sel))
+        sel = sel[: len(ids)]
         m.mp_pos[ids] = pts[sel].astype(np.float32)
         m.mp_valid[ids] = True
         m.mp_desc[ids] = feats.desc[sel]

@@ -60,6 +60,10 @@ class ObjectStore:
             return -1
         return int(free[0])
 
+    def clear(self):
+        """Wipe all landmarks (system Reset)."""
+        self.__post_init__()
+
 
 class ObjectManager:
     """Host-side object lifecycle; device work stays in the detector and
@@ -81,6 +85,13 @@ class ObjectManager:
             np.asarray(fixed_scale_prior, dtype=np.float32)
             if fixed_scale_prior is not None else None)
         self.trackletid_to_landmark: dict[int, int] = {}
+
+    def reset(self):
+        """Clear landmarks and measurement history, keep configuration
+        (called from the tracker's System::Reset analog)."""
+        self.store.clear()
+        self.detections = []
+        self.trackletid_to_landmark = {}
 
     # ------------------------------------------------------------------
     @staticmethod

@@ -54,16 +54,36 @@ class MapState:
 
     # -- slot management ---------------------------------------------------
     def alloc_kf(self):
+        """Index of a free keyframe slot, or -1 when capacity is exhausted
+        (callers evict or cull — never crash mid-run)."""
         free = np.where(~self.kf_valid)[0]
-        if len(free) == 0:
-            raise RuntimeError("keyframe capacity exhausted")
-        return int(free[0])
+        return int(free[0]) if len(free) else -1
 
     def alloc_mps(self, count):
+        """Up to `count` free map-point slots. May return FEWER near
+        capacity — callers must size their writes by len() of the result
+        (graceful degradation instead of a mid-run RuntimeError)."""
         free = np.where(~self.mp_valid)[0]
-        if len(free) < count:
-            raise RuntimeError("map point capacity exhausted")
         return free[:count]
+
+    def erase_kf(self, k):
+        """Remove a keyframe (KeyFrame::SetBadFlag analog): detach its
+        observations, decrement map-point counts, and erase points left
+        with no observers."""
+        mp = self.kf_kp_mp[k]
+        ids = np.unique(mp[mp >= 0])
+        self.mp_nobs[ids] -= 1
+        self.kf_kp_mp[k][:] = -1
+        self.kf_kp_valid[k][:] = False
+        self.kf_valid[k] = False
+        self.kf_frame_id[k] = -1
+        orphan = ids[(self.mp_nobs[ids] <= 0) & self.mp_valid[ids]]
+        if len(orphan):
+            self.erase_mp(orphan)
+
+    def clear(self):
+        """Map::clear analog — wipe everything (System/Tracking Reset)."""
+        self.__post_init__()
 
     def kf_ids(self):
         return np.where(self.kf_valid)[0]
@@ -127,7 +147,12 @@ class MapState:
 
 @dataclass
 class FrameFeatures:
-    """Per-frame extracted features (host mirror of Frame.cc fields)."""
+    """Per-frame extracted features (host mirror of Frame.cc fields).
+
+    `dev` optionally holds the DEVICE-resident jnp arrays from extraction
+    (xy/desc/level/valid/angle) so per-frame kernels can consume them
+    without re-uploading — on a tunneled TPU every host->device transfer
+    costs a round trip."""
 
     xy: np.ndarray       # (N, 2)
     level: np.ndarray    # (N,)
@@ -135,6 +160,7 @@ class FrameFeatures:
     desc: np.ndarray     # (N, 8) uint32
     valid: np.ndarray    # (N,)
     mp: np.ndarray = None  # (N,) associated map point ids (-1 none)
+    dev: dict = None     # optional device-array mirror
 
     def __post_init__(self):
         if self.mp is None:

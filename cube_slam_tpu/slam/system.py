@@ -73,6 +73,34 @@ class TrackerConfig:
     loop_global_ba: bool = True
 
 
+class _DeviceMapMirror:
+    """Device-resident copies of the full-map arrays consumed by the
+    per-frame kernels. The map mutates only at discrete events (keyframe
+    creation, initialization, loop closure, rescale, reset) — between
+    them, re-uploading ~10 full arrays per frame costs one tunnel round
+    trip each and dominated frame time on real TPU. The tracker bumps
+    `_map_version` at every mutation site; the mirror re-uploads only on a
+    version change."""
+
+    def __init__(self):
+        self.version = -1
+        self.arrays = None
+
+    def get(self, m, version):
+        if version != self.version or self.arrays is None:
+            self.arrays = dict(
+                mp_pos=jnp.asarray(m.mp_pos),
+                mp_desc=jnp.asarray(m.mp_desc),
+                mp_level=jnp.asarray(m.mp_level),
+                mp_valid=jnp.asarray(m.mp_valid),
+                mp_normal=jnp.asarray(m.mp_normal),
+                mp_min_dist=jnp.asarray(m.mp_min_dist),
+                mp_max_dist=jnp.asarray(m.mp_max_dist),
+            )
+            self.version = version
+        return self.arrays
+
+
 class MonocularTracker:
     """TrackMonocular-equivalent API over the TPU kernels."""
 
@@ -105,6 +133,16 @@ class MonocularTracker:
         self.loop_detector = LoopDetector(min_gap_kfs=self.cfg.loop_min_gap_kfs)
         self.loops_closed = 0
         self.loop_edges = []  # (kf_a, kf_b) closed pairs (GetLoopEdges analog)
+        # device-resident constants + full-map mirror (transfer avoidance)
+        self._K_dev = jnp.asarray(self.K)
+        self._img_wh_dev = jnp.asarray(self.img_wh)
+        self._mirror = _DeviceMapMirror()
+        self._map_version = 0
+
+    def _bump_map(self):
+        """Invalidate the device map mirror — call after ANY mutation of
+        the map arrays the per-frame kernels consume."""
+        self._map_version += 1
 
     def _n_kp_total(self):
         cfg = orb.OrbPyramidConfig(self.cfg.n_features, n_levels=self.cfg.n_levels)
@@ -113,10 +151,18 @@ class MonocularTracker:
     # ------------------------------------------------------------------
     def _extract(self, gray):
         f = orb.extract_orb(jnp.asarray(gray, dtype=jnp.float32), self.orb_cfg)
+        # two downloads total (packed floats + descriptors) instead of five
+        packed = np.array(orb.pack_features(
+            f["xy"], f["level"], f["angle"], f["valid"]))
+        desc = np.array(f["desc"])
         return FrameFeatures(
-            xy=np.array(f["xy"]), level=np.array(f["level"]),
-            angle=np.array(f["angle"]), desc=np.array(f["desc"]),
-            valid=np.array(f["valid"]),
+            xy=np.ascontiguousarray(packed[:, 0:2]),
+            level=packed[:, 2].astype(np.int32),
+            angle=packed[:, 3].copy(),
+            desc=desc,
+            valid=packed[:, 4] > 0.5,
+            dev=dict(xy=f["xy"], level=f["level"], angle=f["angle"],
+                     desc=f["desc"], valid=f["valid"]),
         )
 
     def track(self, gray):
@@ -129,6 +175,7 @@ class MonocularTracker:
             ok = self._try_initialize(feats)
             if ok:
                 self.state = "OK"
+                self._bump_map()
                 self.trajectory.append((self.frame_id, self.last_Tcw.copy()))
                 self._record_pose(self.last_Tcw)
                 return self.last_Tcw.copy()
@@ -139,12 +186,19 @@ class MonocularTracker:
         if not ok:
             self.state = "LOST"
             self.trajectory.append((self.frame_id, None))
+            # lost soon after initialization: the young map is unreliable —
+            # wipe it and re-initialize (Tracking.cc:1017-1024)
+            if len(self.map.kf_ids()) <= 5:
+                logger.warning("tracking lost with only %d keyframes; "
+                               "resetting", len(self.map.kf_ids()))
+                self.reset()
             return None
         self.state = "OK"
         self.trajectory.append((self.frame_id, self.last_Tcw.copy()))
         self._record_pose(self.last_Tcw)
         if self._need_new_keyframe():
             self._create_keyframe(feats)
+            self._bump_map()
         self.last_frame = feats
         return self.last_Tcw.copy()
 
@@ -205,7 +259,7 @@ class MonocularTracker:
         kf0 = self._insert_keyframe_raw(ref, np.eye(4, dtype=np.float32), ref_id)
         kf1 = self._insert_keyframe_raw(feats, Tcw2, self.frame_id)
         ids = self.map.alloc_mps(int(good.sum()))
-        sel = np.where(good)[0]
+        sel = np.where(good)[0][: len(ids)]
         self.map.mp_pos[ids] = X[sel]
         self.map.mp_valid[ids] = True
         self.map.mp_desc[ids] = feats.desc[m[sel]]
@@ -255,13 +309,14 @@ class MonocularTracker:
         cand[:take] = cand_ids[:take]
         mvalid[:take] = True
 
+        fd = feats.dev or {}
         Tcw, mp_to_kp, inlier, n_in, raw_match = trk.track_pose(
-            jnp.asarray(Tcw_pred), jnp.asarray(self.K),
+            jnp.asarray(Tcw_pred), self._K_dev,
             jnp.asarray(self.map.mp_pos[cand]), jnp.asarray(self.map.mp_desc[cand]),
             jnp.asarray(self.map.mp_level[cand]), jnp.asarray(mvalid),
-            jnp.asarray(feats.xy), jnp.asarray(feats.desc),
-            jnp.asarray(feats.level), jnp.asarray(feats.valid),
-            jnp.float32(cfg.match_radius_motion), jnp.asarray(self.img_wh),
+            fd.get("xy", feats.xy), fd.get("desc", feats.desc),
+            fd.get("level", feats.level), fd.get("valid", feats.valid),
+            jnp.float32(cfg.match_radius_motion), self._img_wh_dev,
         )
         n_in = int(n_in)
         if n_in < cfg.min_inliers_track:
@@ -290,18 +345,20 @@ class MonocularTracker:
         ok = mp_to_kp >= 0
         feats.mp[mp_to_kp[ok]] = cand[ok]
 
-        # --- TrackLocalMap over the whole map
+        # --- TrackLocalMap over the whole map (device-mirrored arrays:
+        # re-uploaded only when the map actually changed)
         Tcw_np = np.array(Tcw)
+        dev = self._mirror.get(self.map, self._map_version)
         mp_to_kp2, visible = trk.search_local_points(
-            jnp.asarray(Tcw_np), jnp.asarray(self.K),
-            jnp.asarray(self.map.mp_pos), jnp.asarray(self.map.mp_desc),
-            jnp.asarray(self.map.mp_level), jnp.asarray(self.map.mp_valid),
-            jnp.asarray(self.map.mp_normal), jnp.asarray(self.map.mp_min_dist),
-            jnp.asarray(self.map.mp_max_dist),
-            jnp.asarray(feats.xy), jnp.asarray(feats.desc),
-            jnp.asarray(feats.level), jnp.asarray(feats.valid),
+            jnp.asarray(Tcw_np), self._K_dev,
+            dev["mp_pos"], dev["mp_desc"],
+            dev["mp_level"], dev["mp_valid"],
+            dev["mp_normal"], dev["mp_min_dist"],
+            dev["mp_max_dist"],
+            fd.get("xy", feats.xy), fd.get("desc", feats.desc),
+            fd.get("level", feats.level), fd.get("valid", feats.valid),
             jnp.asarray(feats.mp >= 0),
-            jnp.asarray(self.img_wh), jnp.float32(cfg.match_radius_local),
+            self._img_wh_dev, jnp.float32(cfg.match_radius_local),
         )
         mp_to_kp2 = np.array(mp_to_kp2)
         ok2 = mp_to_kp2 >= 0
@@ -468,8 +525,56 @@ class MonocularTracker:
         )
         return bool(need)
 
+    def reset(self):
+        """System::Reset -> Tracking::Reset (System.cc:279, Tracking.cc:3037):
+        wipe the map and the loop database; tracking re-initializes on the
+        next frame. Recorded trajectories are kept — stale keyframe
+        references in the relative list degrade gracefully to the
+        as-tracked poses in final_trajectory()."""
+        from .loop_closing import LoopDetector
+
+        logger.warning("system reset: clearing map (%d KFs, %d points)",
+                       len(self.map.kf_ids()), int(self.map.mp_valid.sum()))
+        self.map.clear()
+        self.state = "NOT_INITIALIZED"
+        self.init_frame = None
+        self.last_frame = None
+        self.last_Tcw = np.eye(4, dtype=np.float32)
+        self.velocity = np.eye(4, dtype=np.float32)
+        self.ref_kf = -1
+        self.last_kf_frame_id = -1
+        self.tracked_inliers = 0
+        self.loop_detector = LoopDetector(min_gap_kfs=self.cfg.loop_min_gap_kfs)
+        self.loop_edges = []
+        self._bump_map()
+
+    def _evict_one_kf(self):
+        """Keyframe-capacity fallback: drop the valid keyframe least
+        covisible with the reference (never the reference or the newest
+        two) so long runs degrade to a bounded-window map instead of
+        crashing. The reference never hits this (heap-allocated graph);
+        fixed-capacity arrays need an explicit policy."""
+        m = self.map
+        kfs = sorted(int(i) for i in m.kf_ids())
+        protect = {int(self.ref_kf)} | set(kfs[-2:])
+        cands = [k for k in kfs if k not in protect]
+        if not cands:
+            return False
+        counts = (m.covisibility_counts(self.ref_kf) if self.ref_kf >= 0
+                  else np.zeros(m.max_kf, dtype=np.int32))
+        victim = min(cands, key=lambda k: (int(counts[k]), -k))
+        logger.warning("keyframe capacity exhausted; evicting KF %d "
+                       "(covis %d with ref)", victim, int(counts[victim]))
+        m.erase_kf(victim)
+        return True
+
     def _insert_keyframe_raw(self, feats, Tcw, frame_id):
         k = self.map.alloc_kf()
+        if k < 0:
+            if not self._evict_one_kf():
+                raise RuntimeError("keyframe capacity exhausted and nothing "
+                                   "evictable (max_kf too small)")
+            k = self.map.alloc_kf()
         m = self.map
         m.kf_tcw[k] = Tcw
         m.kf_valid[k] = True
@@ -623,10 +728,12 @@ class MonocularTracker:
             sel = np.where(ok)[0]
             if len(sel) == 0:
                 continue
-            try:
-                ids = m.alloc_mps(len(sel))
-            except RuntimeError:
+            ids = m.alloc_mps(len(sel))
+            if len(ids) == 0:
+                logger.warning("map-point capacity exhausted; skipping "
+                               "triangulation for KF %d", k)
                 break
+            sel = sel[: len(ids)]
             m.mp_pos[ids] = X[sel]
             m.mp_valid[ids] = True
             m.mp_desc[ids] = m.kf_kp_desc[k, sel]
@@ -844,6 +951,7 @@ class MonocularTracker:
         pt_cap = max(2048, 1 << int(np.ceil(np.log2(max(n_mp, 1)))))
         self._local_ba(kfs, fixed=[oldest], kf_cap=max(16, self.cfg.max_kf),
                        pt_cap=min(pt_cap, self.cfg.max_mp))
+        self._bump_map()
 
     def _cull_keyframes(self, keep_latest=2, redundancy=0.9):
         """KeyFrameCulling (LocalMapping.cc:833-966): a keyframe is redundant
@@ -863,9 +971,7 @@ class MonocularTracker:
             # observation counts from other KFs
             others = m.mp_nobs[ids] - 1
             if (others >= 3).mean() >= redundancy:
-                m.kf_kp_mp[k][:] = -1
-                m.mp_nobs[ids] -= 1
-                m.kf_valid[k] = False
+                m.erase_kf(k)
                 removed += 1
         return removed
 
@@ -931,6 +1037,10 @@ class RgbdTracker(MonocularTracker):
         self._pending_depth = depth
         return super().track(gray)
 
+    def reset(self):
+        super().reset()
+        self._pending_depth = None
+
     def _kp_depths(self, feats, depth_img):
         """Bilinear depth at subpixel keypoint locations; invalid when any
         corner of the interpolation cell is missing."""
@@ -974,6 +1084,7 @@ class RgbdTracker(MonocularTracker):
         pts = self._backproject(feats, d, self.init_Tcw)
         sel = np.where(good)[0]
         ids = self.map.alloc_mps(len(sel))
+        sel = sel[: len(ids)]
         m = self.map
         m.mp_pos[ids] = pts[sel]
         m.mp_valid[ids] = True
@@ -1004,10 +1115,12 @@ class RgbdTracker(MonocularTracker):
         sel = np.where(free)[0]
         if len(sel) == 0:
             return
-        try:
-            ids = m.alloc_mps(len(sel))
-        except RuntimeError:
+        ids = m.alloc_mps(len(sel))
+        if len(ids) == 0:
+            logger.warning("map-point capacity exhausted; skipping "
+                           "depth-backed points for KF %d", k)
             return
+        sel = sel[: len(ids)]
         pts = self._backproject(feats, d, m.kf_tcw[k])
         m.mp_pos[ids] = pts[sel]
         m.mp_valid[ids] = True
@@ -1086,7 +1199,14 @@ class ObjectSlamTracker(MonocularTracker):
         out = super().track(gray)
         if was_uninit and self.state == "OK":
             self._object_depth_scale_init()
+            self._bump_map()
         return out
+
+    def reset(self):
+        super().reset()
+        self.objects.reset()
+        self._pending_obs = None
+        self.mono_scale_initialized = False
 
     def _object_depth_scale_init(self):
         """MonoObjDepthInitialization analog (Tracking.cc:852-930): anchor

@@ -1,0 +1,118 @@
+"""System::Reset analog + capacity-exhaustion recovery.
+
+The reference resets via System::Reset -> Tracking::Reset (System.cc:279,
+Tracking.cc:3037): map cleared, tracking re-initializes. Our fixed-capacity
+array map additionally needs explicit exhaustion policies: keyframe slots
+evict the least-covisible victim; map-point allocation degrades to partial
+instead of raising mid-run.
+"""
+
+import numpy as np
+
+from cube_slam_tpu.slam.state import FrameFeatures, MapState
+from cube_slam_tpu.slam.system import MonocularTracker, TrackerConfig
+from cube_slam_tpu.utils import synth
+
+K = np.array([[320.0, 0, 160], [0, 320.0, 120], [0, 0, 1]], dtype=np.float32)
+CFG = TrackerConfig(
+    n_features=600, n_levels=3, max_kf=24, max_mp=4096,
+    min_init_kps=80, min_init_matches=80, enable_loop_closing=False,
+)
+
+
+def _frames(n, seed=2):
+    scene = synth.RoomScene(seed=seed)
+    poses = synth.camera_path(40)[:n]
+    return [scene.render(poses[i], K, wh=(320, 240)) for i in range(n)]
+
+
+def test_reset_reinitializes_and_tracks_again():
+    frames = _frames(12)
+    trk = MonocularTracker(K, (320, 240), CFG)
+    for f in frames[:6]:
+        trk.track(f)
+    assert trk.state == "OK"
+    assert trk.map.kf_valid.any()
+
+    trk.reset()
+    assert trk.state == "NOT_INITIALIZED"
+    assert not trk.map.kf_valid.any()
+    assert not trk.map.mp_valid.any()
+    assert trk.ref_kf == -1
+
+    # feed the remaining frames: the tracker must re-initialize and track
+    tracked_after = 0
+    for f in frames[4:]:
+        if trk.track(f) is not None:
+            tracked_after += 1
+    assert trk.state == "OK"
+    assert tracked_after >= 4
+    assert trk.map.mp_valid.sum() > 100
+
+
+def test_auto_reset_when_lost_young():
+    """Tracking lost with <= 5 keyframes wipes the young map
+    (Tracking.cc:1017-1024)."""
+    frames = _frames(5)
+    trk = MonocularTracker(K, (320, 240), CFG)
+    for f in frames[:3]:
+        trk.track(f)
+    assert trk.state == "OK"
+    assert len(trk.map.kf_ids()) <= 5
+
+    rng = np.random.default_rng(0)
+    noise = rng.uniform(0, 255, size=frames[0].shape).astype(np.float32)
+    for _ in range(3):
+        trk.track(noise)
+        if trk.state == "NOT_INITIALIZED":
+            break
+    assert trk.state == "NOT_INITIALIZED"  # reset fired
+    assert not trk.map.kf_valid.any()
+
+
+def test_kf_capacity_eviction_keeps_running():
+    """When every keyframe slot is taken the tracker evicts the
+    least-covisible victim instead of raising."""
+    frames = _frames(3)
+    cfg = TrackerConfig(
+        n_features=600, n_levels=3, max_kf=4, max_mp=4096,
+        min_init_kps=80, min_init_matches=80, enable_loop_closing=False,
+    )
+    trk = MonocularTracker(K, (320, 240), cfg)
+    for f in frames:
+        trk.track(f)
+    assert trk.state == "OK"
+    n0 = len(trk.map.kf_ids())
+    assert n0 >= 2
+
+    # force insertions beyond capacity with the last frame's features
+    feats = trk.last_frame
+    for i in range(6):
+        f2 = FrameFeatures(
+            xy=feats.xy.copy(), level=feats.level.copy(),
+            angle=feats.angle.copy(), desc=feats.desc.copy(),
+            valid=feats.valid.copy(),
+        )
+        k = trk._insert_keyframe_raw(f2, trk.last_Tcw.copy(),
+                                     trk.frame_id + 1 + i)
+        trk.ref_kf = k
+        assert 0 <= k < cfg.max_kf
+        assert len(trk.map.kf_ids()) <= cfg.max_kf
+
+
+def test_alloc_mps_partial_and_erase_kf_orphans():
+    m = MapState(max_kf=4, max_mp=32, n_kp=16)
+    ids = m.alloc_mps(40)  # more than capacity -> partial, no raise
+    assert len(ids) == 32
+    m.mp_valid[ids[:10]] = True
+    again = m.alloc_mps(40)
+    assert len(again) == 22
+
+    # one KF observing points 0..4 exclusively; erase_kf must orphan-erase
+    m.kf_valid[0] = True
+    m.kf_kp_mp[0, :5] = np.arange(5)
+    m.mp_nobs[:5] = 1
+    m.erase_kf(0)
+    assert not m.kf_valid[0]
+    assert not m.mp_valid[:5].any()
+    assert (m.kf_kp_mp[0] == -1).all()
