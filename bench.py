@@ -1,45 +1,72 @@
-"""Benchmark: end-to-end demo-pipeline throughput on one chip.
+"""Benchmark: demo-pipeline throughput + full-tracker + BA kernel metrics.
 
 Reference baseline (BASELINE.md): the C++ pipeline runs the TUM-cabinet demo
 with full-graph optimize(5) per frame and live detection; the official KITTI
 instructions replay rosbags at 0.5x of 10 fps => ~5 frames/sec effective on
-CPU. This bench measures our per-frame cost = cuboid detection (full fused
-lattice on the bundled fixture frame) + incremental BA step (5 LM iterations
-on the padded 64-frame graph with the real 58-frame cabinet data), and
-reports combined frames/sec vs that 5 fps envelope.
+CPU. The headline metric is our per-frame cost = cuboid detection (full
+fused lattice on the bundled fixture frame) + incremental BA step (5 LM
+iterations on the padded 64-frame graph with the real 58-frame cabinet
+data), reported as frames/sec vs that 5 fps envelope.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Also measured (BASELINE.md protocol items (a)-(c), VERDICT r1 #6):
+  * tracker_fps         — the ACTUAL SLAM tracker (slam/system.py) on a
+                          synthetic video-rate sequence (320x240, default
+                          pipeline incl. keyframes/local BA/loop detector),
+  * ba_iters_per_sec    — Schur camera-point BA at fixed (16 KF, 2048 pts,
+                          8192 edges), LM iterations per second,
+  * detector_ms/_mfu    — device time + XLA cost-analysis FLOPs for the
+                          detector lattice, utilization vs 197 TF/s (v5e
+                          bf16 peak; we run f32 matmul precision, so this
+                          understates achievable MFU),
+  * schur_ms/_mfu       — same for one 5-iteration BA solve.
+
+Prints ONE JSON line; extra keys ride alongside the required four.
 """
 
 import json
+import sys
 import time
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
+def _stage(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
-    from cube_slam_tpu.models import cuboid as cb
+
+def _aot(jitted, *args, **kwargs):
+    """Lower+compile ONCE; returns (compiled, flops). The compiled object
+    is then used for the timing loop too — no second compile for the
+    cost analysis."""
+    compiled = jitted.lower(*args, **kwargs).compile()
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", 0.0))
+    except Exception:
+        flops = 0.0
+    return compiled, flops
+
+
+PEAK_FLOPS = 197e12  # TPU v5e bf16 peak (f32 runs lower — rough yardstick)
+
+
+def bench_detector(jax, jnp, np):
     from cube_slam_tpu.models.detector import CuboidDetector, detect_lattice_batch
-    from cube_slam_tpu.slam.object_slam import ObjectSlamDemo, optimize_graph
     from cube_slam_tpu.utils import io
 
-    # ---- detector throughput (device kernel + host prep) ----
     fx = io.load_detect3d_fixture()
     det = CuboidDetector()
     det.set_calibration(fx["K"])
     kernel_args, _ = det.prepare_batch(fx["gray"], fx["Twc"], fx["bbox"], fx["edges"])
 
-    def run_detect():
-        res, top_idx, top_scores, top_valid, packed = detect_lattice_batch(**kernel_args)
-        return top_scores
-
-    jax.block_until_ready(run_detect())  # compile
+    compiled, flops = _aot(detect_lattice_batch, **kernel_args)
+    arr_args = {k: v for k, v in kernel_args.items()
+                if k not in ("sample_roll_pitch", "top_k")}
+    jax.block_until_ready(compiled(**arr_args))  # warm
     n = 20
     t0 = time.perf_counter()
     for _ in range(n):
-        out = run_detect()
+        out = compiled(**arr_args)
     jax.block_until_ready(out)
     detect_dt = (time.perf_counter() - t0) / n
 
@@ -49,11 +76,18 @@ def main():
         det.prepare_batch(fx["gray"], fx["Twc"], fx["bbox"], fx["edges"])
     prep_dt = (time.perf_counter() - t0) / 5
 
-    # ---- incremental BA step (5 LM iters, padded 64-frame graph, real data) ----
+    mfu = flops / max(detect_dt, 1e-12) / PEAK_FLOPS
+    return detect_dt, prep_dt, mfu
+
+
+def bench_demo_ba(jax, jnp, np):
+    from cube_slam_tpu.slam.object_slam import ObjectSlamDemo, optimize_graph
+    from cube_slam_tpu.utils import io
+    from cube_slam_tpu.utils import np_geometry as np_geo
+
     seq = io.CabinetSequence()
     demo = ObjectSlamDemo(max_frames=64, num_lm_iters=5)
-    # build the frame-57 state by running the pipeline once (also compiles)
-    res = demo.run_offline(seq)
+    res = demo.run_offline(seq)  # builds frame-57 state (also compiles)
 
     F = 64
     tcw = np.tile(np.eye(4, dtype=np.float32), (F, 1, 1))
@@ -63,8 +97,6 @@ def main():
     meas_scale = np.zeros((F, 3), np.float32)
     quality = np.zeros((F,), np.float32)
     has = np.zeros((F,), bool)
-    from cube_slam_tpu.utils import np_geometry as np_geo
-
     row = 0
     for f in range(seq.num_frames):
         if row < len(seq.offline_cuboids) and int(seq.offline_cuboids[row][0]) == f:
@@ -89,11 +121,98 @@ def main():
         jnp.asarray(has), jnp.asarray(odom), jnp.asarray(seq.num_frames),
     )
     jax.block_until_ready(optimize_graph(*args, num_iters=5, max_frames=F))
+    n = 20
     t0 = time.perf_counter()
     for _ in range(n):
         out = optimize_graph(*args, num_iters=5, max_frames=F)
     jax.block_until_ready(out)
-    ba_dt = (time.perf_counter() - t0) / n
+    return (time.perf_counter() - t0) / n
+
+
+def bench_schur_ba(jax, jnp, np, n_kf=16, n_pt=2048, n_edge=8192, iters=5):
+    """Fixed-size camera-point Schur BA (BASELINE item (b))."""
+    from cube_slam_tpu.graph import ba
+
+    rng = np.random.default_rng(0)
+    K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]], np.float32)
+    pts = rng.uniform(-2, 2, size=(n_pt, 3)).astype(np.float32)
+    pts[:, 2] += 6.0
+    kf_tcw = np.tile(np.eye(4, dtype=np.float32), (n_kf, 1, 1))
+    for i in range(n_kf):
+        kf_tcw[i, :3, 3] = [0.1 * i, 0.01 * i, 0.0]
+    obs_kf = rng.integers(0, n_kf, size=n_edge).astype(np.int32)
+    obs_pt = rng.integers(0, n_pt, size=n_edge).astype(np.int32)
+    pc = np.einsum("eij,ej->ei", kf_tcw[obs_kf, :3, :3], pts[obs_pt]) \
+        + kf_tcw[obs_kf, :3, 3]
+    uv = pc @ K.T
+    obs_uv = (uv[:, :2] / uv[:, 2:3]
+              + rng.normal(0, 0.5, size=(n_edge, 2))).astype(np.float32)
+    si = np.ones(n_edge, np.float32)
+    valid = np.ones(n_edge, bool)
+    kf_fixed = np.zeros(n_kf, bool)
+    kf_fixed[0] = True
+    pt_valid = np.ones(n_pt, bool)
+    pts_noisy = pts + rng.normal(0, 0.03, size=pts.shape).astype(np.float32)
+
+    args = (jnp.asarray(kf_tcw), jnp.asarray(pts_noisy), jnp.asarray(K),
+            jnp.asarray(obs_kf), jnp.asarray(obs_pt), jnp.asarray(obs_uv),
+            jnp.asarray(si), jnp.asarray(valid), jnp.asarray(kf_fixed),
+            jnp.asarray(pt_valid))
+    kw = dict(num_iters=iters, n_kf=n_kf, n_pt=n_pt)
+    compiled, flops = _aot(ba.local_ba_points, *args, **kw)
+    jax.block_until_ready(compiled(*args))
+    n = 10
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = compiled(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n
+    mfu = flops / max(dt, 1e-12) / PEAK_FLOPS
+    return dt, iters / dt, mfu
+
+
+def bench_tracker(np, n_frames=36, warmup=12):
+    """The ACTUAL SLAM tracker on a synthetic video-rate sequence."""
+    from cube_slam_tpu.slam.system import MonocularTracker, TrackerConfig
+    from cube_slam_tpu.utils import synth
+
+    K = np.array([[320.0, 0, 160], [0, 320.0, 120], [0, 0, 1]], np.float32)
+    scene = synth.RoomScene(seed=2)
+    poses = synth.camera_path(n_frames)
+    frames = [scene.render(poses[i], K, wh=(320, 240)) for i in range(n_frames)]
+    cfg = TrackerConfig(n_features=600, n_levels=3, max_kf=48, max_mp=8192,
+                        min_init_kps=80, min_init_matches=80)
+    trk = MonocularTracker(K, (320, 240), cfg)
+    for f in frames[:warmup]:  # compiles all per-frame programs
+        trk.track(f)
+    t0 = time.perf_counter()
+    for f in frames[warmup:]:
+        trk.track(f)
+    dt = (time.perf_counter() - t0) / (n_frames - warmup)
+    n_tracked = sum(1 for _, T in trk.trajectory if T is not None)
+    return 1.0 / dt, n_tracked
+
+
+def main():
+    import os
+
+    # persistent compile cache: the tracker stage spans ~10 XLA programs
+    # whose TPU compiles dominate a cold run
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.expanduser("~/.cache/jax_cube_slam"))
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    t0 = time.perf_counter()
+    detect_dt, prep_dt, det_mfu = bench_detector(jax, jnp, np)
+    _stage(f"detector done {time.perf_counter() - t0:.0f}s")
+    ba_dt = bench_demo_ba(jax, jnp, np)
+    _stage(f"demo BA done {time.perf_counter() - t0:.0f}s")
+    schur_dt, schur_ips, schur_mfu = bench_schur_ba(jax, jnp, np)
+    _stage(f"schur BA done {time.perf_counter() - t0:.0f}s")
+    tracker_fps, n_tracked = bench_tracker(np)
+    _stage(f"tracker done {time.perf_counter() - t0:.0f}s")
 
     per_frame = detect_dt + prep_dt + ba_dt
     fps = 1.0 / per_frame
@@ -103,6 +222,14 @@ def main():
         "value": round(fps, 3),
         "unit": "frames/s (detect+BA per frame, 1 chip)",
         "vs_baseline": round(fps / baseline_fps, 3),
+        "tracker_fps": round(tracker_fps, 2),
+        "tracker_frames_ok": n_tracked,
+        "ba_iters_per_sec": round(schur_ips, 1),
+        "schur_ba_ms": round(schur_dt * 1e3, 2),
+        "schur_ba_mfu_pct": round(schur_mfu * 100, 2),
+        "detector_ms": round(detect_dt * 1e3, 2),
+        "detector_prep_ms": round(prep_dt * 1e3, 2),
+        "detector_mfu_pct": round(det_mfu * 100, 2),
     }))
 
 

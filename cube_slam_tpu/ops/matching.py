@@ -10,6 +10,8 @@ array reductions.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -20,6 +22,7 @@ HISTO_LENGTH = 30  # rotation histogram bins (ORBmatcher.cc:47)
 BIG = 10_000
 
 
+@jax.jit
 def hamming_matrix(desc_a, desc_b, valid_a=None, valid_b=None):
     """(N, 8) x (M, 8) uint32 -> (N, M) int32 Hamming distances.
 
@@ -33,6 +36,7 @@ def hamming_matrix(desc_a, desc_b, valid_a=None, valid_b=None):
     return d
 
 
+@functools.partial(jax.jit, static_argnames=("mutual",))
 def match_mutual_ratio(dist, max_dist=TH_LOW, ratio=0.9, mutual=True):
     """Best match per row with Lowe ratio vs second best + optional mutual
     check (SearchForInitialization semantics, ORBmatcher.cc:429-540).
@@ -52,6 +56,7 @@ def match_mutual_ratio(dist, max_dist=TH_LOW, ratio=0.9, mutual=True):
     return jnp.where(ok, best_idx, -1), best
 
 
+@functools.partial(jax.jit, static_argnames=("n_keep",))
 def rotation_consistency(angles_a, angles_b, match_idx, n_keep=3):
     """Keep matches whose angle difference falls in the top-n_keep histogram
     bins (ComputeThreeMaxima, ORBmatcher.cc:1870-1903)."""
@@ -73,6 +78,7 @@ def rotation_consistency(angles_a, angles_b, match_idx, n_keep=3):
     return jnp.where(matched & in_top, match_idx, -1)
 
 
+@jax.jit
 def window_mask(xy_a, xy_b, radius, level_a=None, level_b=None, level_slack=1):
     """(N, M) bool: candidate b within a square search window of a's
     position (SearchByProjection windowing), optionally same-ish level."""
@@ -86,6 +92,7 @@ def window_mask(xy_a, xy_b, radius, level_a=None, level_b=None, level_slack=1):
     return m
 
 
+@jax.jit
 def search_by_projection(proj_xy, proj_valid, desc_map, level_map,
                          kp_xy, kp_desc, kp_level, kp_valid,
                          radius=15.0, max_dist=TH_HIGH, ratio=0.9):

@@ -23,6 +23,7 @@ is a fixed-capacity keypoint set (padded, masked).
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -246,8 +247,36 @@ class OrbPyramidConfig:
         self.scales = [scale_factor**i for i in range(n_levels)]
 
 
+@functools.partial(
+    jax.jit, static_argnames=("out_h", "out_w", "quota", "ini_th", "min_th"))
+def _level_kernel(gray, out_h, out_w, quota, ini_th, min_th):
+    """ONE fused program per pyramid level: resize -> FAST -> distribution
+    -> IC angle -> blur -> rBRIEF. The whole level is a single device
+    dispatch — per-op eager execution would cost hundreds of tiny program
+    launches per frame, which dominates wall time on a tunneled TPU."""
+    if (out_h, out_w) != gray.shape:
+        level_img = jax.image.resize(gray, (out_h, out_w), method="linear")
+    else:
+        level_img = gray
+    xy, score, valid = detect_level(
+        level_img, max_kp=quota, ini_threshold=ini_th, min_threshold=min_th)
+    ang = ic_angle(level_img, xy, valid)
+    blurred = im_ops.gaussian_blur(level_img, sigma=2.0, radius=3)
+    desc = brief_descriptors(blurred, xy, ang, valid)
+    return xy, score, valid, ang, desc
+
+
+@jax.jit
+def pack_features(xy, level, angle, valid):
+    """Pack the float-convertible feature fields into ONE (N, 5) array so
+    the host needs a single download instead of four round trips."""
+    return jnp.concatenate(
+        [xy, level[:, None].astype(jnp.float32), angle[:, None],
+         valid[:, None].astype(jnp.float32)], axis=1)
+
+
 def extract_orb(gray, cfg: OrbPyramidConfig):
-    """Full ORB extraction (host orchestrates per-level jitted kernels).
+    """Full ORB extraction — one fused jitted program per pyramid level.
 
     gray: (H, W) f32 numpy/jnp. Returns dict of padded arrays:
       xy (N, 2) level-0 coords, level (N,), angle (N,), score (N,),
@@ -255,21 +284,14 @@ def extract_orb(gray, cfg: OrbPyramidConfig):
     N = sum of per-level quotas (static for a given config).
     """
     gray = jnp.asarray(gray, dtype=jnp.float32)
+    H0, W0 = gray.shape
     out_xy, out_lvl, out_ang, out_sc, out_desc, out_valid = [], [], [], [], [], []
-    level_img = gray
     for lvl in range(cfg.n_levels):
-        if lvl > 0:
-            H0, W0 = gray.shape
-            h = int(round(H0 / cfg.scales[lvl]))
-            w = int(round(W0 / cfg.scales[lvl]))
-            level_img = jax.image.resize(gray, (h, w), method="linear")
+        h = int(round(H0 / cfg.scales[lvl]))
+        w = int(round(W0 / cfg.scales[lvl]))
         quota = cfg.per_level[lvl]
-        xy, score, valid = detect_level(
-            level_img, max_kp=quota, ini_threshold=cfg.ini_th, min_threshold=cfg.min_th
-        )
-        ang = ic_angle(level_img, xy, valid)
-        blurred = im_ops.gaussian_blur(level_img, sigma=2.0, radius=3)
-        desc = brief_descriptors(blurred, xy, ang, valid)
+        xy, score, valid, ang, desc = _level_kernel(
+            gray, h, w, quota, float(cfg.ini_th), float(cfg.min_th))
         out_xy.append(xy * cfg.scales[lvl])  # scale back to level-0 coords
         out_lvl.append(jnp.full((quota,), lvl, dtype=jnp.int32))
         out_ang.append(ang)
