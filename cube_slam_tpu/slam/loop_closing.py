@@ -98,6 +98,20 @@ class LoopDetector:
         cands.sort(reverse=True)
         return [i for _, i in cands]
 
+    def detect_relocalization(self, signature, max_candidates=3):
+        """DetectRelocalizationCandidates (KeyFrameDatabase.cc:197-260):
+        rank the stored keyframes by signature similarity to a LOST
+        FRAME's signature — no covisibility exclusion (we want the closest
+        stored place, wherever it is). Returns kf ids, best first."""
+        if not self.signatures:
+            return []
+        ids = sorted(self.signatures)
+        db = np.stack([self.signatures[i] for i in ids])
+        sims = signature_similarity(signature, db)
+        order = np.argsort(-sims)
+        return [int(ids[int(k)]) for k in order[:max_candidates]
+                if sims[int(k)] > self.abs_floor]
+
 
 def verify_loop_sim3(map_state, kf_a, kf_b, fix_scale=False, min_inliers=20, seed=0):
     """Geometric verification: match descriptors of the two KFs' map points,

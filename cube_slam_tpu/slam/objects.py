@@ -71,7 +71,8 @@ class ObjectManager:
 
     def __init__(self, detector, store: ObjectStore | None = None,
                  min_owned_points=20, min_shared_votes=8, bbox_overlap_max=0.15,
-                 min_obs_to_promote=2, fixed_scale_prior=None):
+                 min_obs_to_promote=2, min_shared_promote=5,
+                 fixed_scale_prior=None):
         self.detector = detector
         self.store = store or ObjectStore()
         self.detections: list[Detection] = []
@@ -79,6 +80,9 @@ class ObjectManager:
         self.min_shared_votes = min_shared_votes
         self.bbox_overlap_max = bbox_overlap_max
         self.min_obs_to_promote = min_obs_to_promote
+        # candidate-candidate promotion threshold (Tracking.cc:1879-1923
+        # uses 10/20/5 common points depending on mode)
+        self.min_shared_promote = min_shared_promote
         # KITTI car prior (Tracking.cc:1949-1957, Optimizer.cc:994):
         # landmarks get this FIXED half-scale when set
         self.fixed_scale_prior = (
@@ -269,14 +273,21 @@ class ObjectManager:
                 st.quality[best] = max(st.quality[best], det.quality)
             else:
                 # unmatched: look for an unassociated previous detection of
-                # the same region (promote after min_obs_to_promote sightings)
+                # the same object by SHARED-MAP-POINT voting — two candidate
+                # detections are the same object when they own enough common
+                # points (Tracking.cc:1879-1923; the reference's thresholds
+                # 10/20/5 by mode map to min_shared_promote). Pose proximity
+                # is only the degenerate fallback when neither detection
+                # owns any mapped point yet.
                 prev = [d for d in self.detections
                         if d.landmark == -2 and d.kf_id != det.kf_id]
                 det.landmark = -2  # provisional
-                n_seen = 1 + sum(
-                    1 for d in prev
-                    if self._pose_close(d, det, m)
-                )
+                matched_prev = [
+                    d for d in prev
+                    if self._shared_points(m, d, det) >= self.min_shared_promote
+                    or (len(owned_mps) == 0 and self._pose_close(d, det, m))
+                ]
+                n_seen = 1 + len(matched_prev)
                 if n_seen >= self.min_obs_to_promote:
                     o = st.alloc()
                     if o < 0:
@@ -288,12 +299,22 @@ class ObjectManager:
                     st.n_obs[o] = n_seen
                     st.quality[o] = det.quality
                     det.landmark = o
-                    for d in prev:
-                        if self._pose_close(d, det, m):
-                            d.landmark = o
+                    for d in matched_prev:
+                        d.landmark = o
             # point ownership votes
             if det.landmark >= 0 and len(owned_mps):
                 m.mp_best_obj[owned_mps] = det.landmark
+
+    def _shared_points(self, map_state, d1, d2):
+        """Number of map points owned by BOTH detections (the association
+        currency of Tracking.cc:1848-1923)."""
+        m = map_state
+        a = m.kf_kp_mp[d1.kf_id, d1.owned_kps]
+        b = m.kf_kp_mp[d2.kf_id, d2.owned_kps]
+        a = a[a >= 0]
+        if len(a) == 0:
+            return 0
+        return int(np.isin(b[b >= 0], a).sum())
 
     def _pose_close(self, d1, d2, map_state, max_dist=1.5):
         m = map_state

@@ -18,6 +18,7 @@ Pipeline per frame (Tracking::Track, Tracking.cc:480-780):
 from __future__ import annotations
 
 import logging
+import time
 from dataclasses import dataclass
 
 import jax.numpy as jnp
@@ -138,6 +139,8 @@ class MonocularTracker:
         self._img_wh_dev = jnp.asarray(self.img_wh)
         self._mirror = _DeviceMapMirror()
         self._map_version = 0
+        # optional structured per-frame metrics (utils/metrics.MetricsRecorder)
+        self.metrics = None
 
     def _bump_map(self):
         """Invalidate the device map mirror — call after ANY mutation of
@@ -168,6 +171,20 @@ class MonocularTracker:
     def track(self, gray):
         """Process one frame; returns Tcw (4, 4) or None while initializing
         or lost."""
+        t0 = time.perf_counter()
+        out = self._track_one(gray)
+        if self.metrics is not None:
+            self.metrics.add(
+                frame_id=self.frame_id, state=self.state,
+                tracked=out is not None,
+                inliers=int(self.tracked_inliers),
+                n_kf=int(self.map.kf_valid.sum()),
+                n_mp=int(self.map.mp_valid.sum()),
+                frame_ms=(time.perf_counter() - t0) * 1e3,
+            )
+        return out
+
+    def _track_one(self, gray):
         self.frame_id += 1
         feats = self._extract(gray)
 
@@ -465,15 +482,35 @@ class MonocularTracker:
         return True, Tcw, mp_to_kp, cand, n_in
 
     def _relocalize(self, feats):
-        """PnP relocalization against the whole map (Tracking::Relocalization
-        via brute-force matching instead of BoW candidates)."""
-        from . import pnp
+        """Tracking::Relocalization (Tracking.cc:2876): first try the
+        keyframe database's place-recognition candidates (matching against
+        one candidate KF's map points — the DetectRelocalizationCandidates
+        path), then fall back to brute-force against the whole map."""
+        from . import loop_closing as lc
 
         m = self.map
+        sig = lc.keyframe_signature(feats.desc, feats.valid)
+        for kf_cand in self.loop_detector.detect_relocalization(sig):
+            if not m.kf_valid[kf_cand]:
+                continue
+            ref_mp = m.kf_kp_mp[kf_cand]
+            ids = np.unique(ref_mp[ref_mp >= 0])
+            ids = ids[m.mp_valid[ids]]
+            if len(ids) >= 20 and self._pnp_reloc_against(feats, ids):
+                logger.info("relocalized against KF %d (database candidate)",
+                            kf_cand)
+                return True
         ids = m.mp_ids()
         if len(ids) < 20:
             return False
-        M = 2048
+        return self._pnp_reloc_against(feats, ids)
+
+    def _pnp_reloc_against(self, feats, ids, cap=2048):
+        """Descriptor match + PnP-RANSAC against a candidate point set."""
+        from . import pnp
+
+        m = self.map
+        M = cap
         ids = _select_best(ids, m.mp_nobs[ids].astype(np.float64), M,
                            "relocalization candidates")
         cand = np.zeros(M, dtype=np.int64)
@@ -566,6 +603,7 @@ class MonocularTracker:
         logger.warning("keyframe capacity exhausted; evicting KF %d "
                        "(covis %d with ref)", victim, int(counts[victim]))
         m.erase_kf(victim)
+        self.loop_detector.remove(victim)
         return True
 
     def _insert_keyframe_raw(self, feats, Tcw, frame_id):
@@ -611,6 +649,9 @@ class MonocularTracker:
         self._cull_keyframes()
         self._refresh_mp_geometry(self.map.mp_ids())
 
+        # keyframe database insert (relocalization + loop candidates)
+        self.loop_detector.add(k, self.map.kf_kp_desc[k],
+                               self.map.kf_kp_valid[k])
         # --- loop closing (LoopClosing::Run, gated like enable_loop_closing)
         if cfg.enable_loop_closing:
             self._try_close_loop(k, counts)
@@ -622,7 +663,6 @@ class MonocularTracker:
         from . import loop_closing as lc
 
         m = self.map
-        self.loop_detector.add(k, m.kf_kp_desc[k], m.kf_kp_valid[k])
         covisible = [int(i) for i in np.where(covis_counts >= 15)[0]]
         for cand in self.loop_detector.detect(k, covisible)[:3]:
             if not m.kf_valid[cand]:
@@ -972,6 +1012,7 @@ class MonocularTracker:
             others = m.mp_nobs[ids] - 1
             if (others >= 3).mean() >= redundancy:
                 m.erase_kf(k)
+                self.loop_detector.remove(k)
                 removed += 1
         return removed
 

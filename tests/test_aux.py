@@ -136,3 +136,40 @@ def test_kitti_offline_cuboid_reader(tmp_path):
     assert rows[0].shape == (1, 12)
     assert rows[0][0, 3] == 0.5
     assert rows[1].size == 0
+
+
+def test_metrics_recorder_per_frame(tmp_path):
+    """Structured per-frame metrics: attach a recorder to a tracker, run a
+    few frames, get one JSONL record per frame + aggregate summary."""
+    import json
+
+    import numpy as np
+
+    from cube_slam_tpu.slam.system import MonocularTracker, TrackerConfig
+    from cube_slam_tpu.utils import synth
+    from cube_slam_tpu.utils.metrics import MetricsRecorder
+
+    K = np.array([[320.0, 0, 160], [0, 320.0, 120], [0, 0, 1]], np.float32)
+    scene = synth.RoomScene(seed=2)
+    poses = synth.camera_path(8)
+    cfg = TrackerConfig(n_features=600, n_levels=3, max_kf=24, max_mp=4096,
+                        min_init_kps=80, min_init_matches=80,
+                        enable_loop_closing=False)
+    trk = MonocularTracker(K, (320, 240), cfg)
+    trk.metrics = MetricsRecorder()
+    for i in range(6):
+        trk.track(scene.render(poses[i], K, wh=(320, 240)))
+
+    assert len(trk.metrics.records) == 6
+    r = trk.metrics.records[-1]
+    assert r["state"] == "OK" and r["tracked"] and r["n_kf"] >= 2
+    assert r["frame_ms"] > 0
+
+    p = tmp_path / "metrics.jsonl"
+    trk.metrics.dump_jsonl(str(p))
+    lines = [json.loads(l) for l in p.read_text().splitlines()]
+    assert len(lines) == 6 and lines[0]["frame_id"] == 0
+
+    s = trk.metrics.summary()
+    assert s["frames"] == 6 and 0 < s["tracked_frac"] <= 1.0
+    assert s["final_map_points"] > 50

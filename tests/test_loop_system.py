@@ -120,10 +120,9 @@ def test_tracker_closes_drifted_loop():
             m.kf_kp_mp[k, s0:s0 + share_prev] = prev
             m.mp_nobs[prev] += 1
 
-        # populate the loop database for all but the revisit KF (the
-        # tracker adds the current KF itself inside _try_close_loop)
-        if i < n_kf - 1:
-            tr.loop_detector.add(k, m.kf_kp_desc[k], m.kf_kp_valid[k])
+        # populate the keyframe database (in the tracker this happens in
+        # _create_keyframe, before loop detection)
+        tr.loop_detector.add(k, m.kf_kp_desc[k], m.kf_kp_valid[k])
 
     def kf_errs():
         errs = []

@@ -100,6 +100,40 @@ def test_kf_capacity_eviction_keeps_running():
         assert len(trk.map.kf_ids()) <= cfg.max_kf
 
 
+def test_relocalization_via_keyframe_database():
+    """Lost tracking with a mature map (> 5 KFs, so no auto-reset) must
+    recover through the keyframe-database place-recognition path when an
+    already-seen view comes back (Tracking::Relocalization +
+    DetectRelocalizationCandidates)."""
+    import numpy as np
+
+    N = 20
+    frames = _frames(N)
+    trk = MonocularTracker(K, (320, 240), CFG)
+    poses_est = {}
+    for i, f in enumerate(frames):
+        T = trk.track(f)
+        if T is not None:
+            poses_est[i] = T.copy()
+    assert trk.state == "OK"
+    assert len(trk.map.kf_ids()) > 5
+    assert len(trk.loop_detector.signatures) > 0
+
+    rng = np.random.default_rng(1)
+    noise = rng.uniform(0, 255, size=frames[0].shape).astype(np.float32)
+    for _ in range(2):
+        trk.track(noise)
+    assert trk.state == "LOST"
+    assert trk.map.kf_valid.any()  # no reset — map kept
+
+    revisit = 10
+    T = trk.track(frames[revisit])
+    assert T is not None and trk.state == "OK"
+    c_new = np.linalg.inv(T)[:3, 3]
+    c_old = np.linalg.inv(poses_est[revisit])[:3, 3]
+    assert np.linalg.norm(c_new - c_old) < 0.1, (c_new, c_old)
+
+
 def test_alloc_mps_partial_and_erase_kf_orphans():
     m = MapState(max_kf=4, max_mp=32, n_kp=16)
     ids = m.alloc_mps(40)  # more than capacity -> partial, no raise
