@@ -268,6 +268,19 @@ class DynamicObjectManager:
         self._prev_gray = None
         self._prev_dets = {}
 
+    def pose_tracks(self):
+        """Per-object pose history for the viewer: list of (poses, scale)
+        where poses is the chain's object->world poses in keyframe order —
+        the allDynamicPoses view of MapDrawer.cc:250. Feed directly to
+        viz.drawing.draw_map_topdown(dynamic_tracks=...)."""
+        out = []
+        for ch in self.chains.values():
+            if not ch.kf_pose:
+                continue
+            poses = [ch.kf_pose[k] for k in sorted(ch.kf_pose)]
+            out.append((np.stack(poses), ch.scale))
+        return out
+
     # -- per frame -----------------------------------------------------
     def advance(self, gray, dets):
         """KLT-advance all chains from the previous frame; spawn/re-seed

@@ -58,9 +58,14 @@ def draw_frame(gray_or_rgb, kp_xy=None, kp_tracked=None, cuboid_corners_2d=None,
 
 
 def draw_map_topdown(est_Twc=None, truth_Twc=None, points=None, cuboids=None,
-                     size=640, margin=0.1):
+                     dynamic_tracks=None, size=640, margin=0.1):
     """MapDrawer analog: top-down (x, y) view of trajectory, map points and
-    cuboid footprints."""
+    cuboid footprints.
+
+    dynamic_tracks: optional list of (poses, scale) per moving object —
+    poses is a sequence of 4x4 object->world poses over time. Rendered as
+    a fading trail through the pose-history centers with footprints at the
+    first and latest pose (MapDrawer.cc:250's all-dynamic-poses view)."""
     Image, ImageDraw = _pil()
     img = Image.new("RGB", (size, size), (20, 20, 24))
     d = ImageDraw.Draw(img)
@@ -71,6 +76,10 @@ def draw_map_topdown(est_Twc=None, truth_Twc=None, points=None, cuboids=None,
             pts_all.append(np.asarray(arr)[:, :2, 3].reshape(-1, 2))
     if points is not None and len(points):
         pts_all.append(np.asarray(points)[:, :2])
+    if dynamic_tracks:
+        for poses, _scale in dynamic_tracks:
+            if len(poses):
+                pts_all.append(np.asarray(poses)[:, :2, 3].reshape(-1, 2))
     if not pts_all:
         return img
     allp = np.concatenate(pts_all)
@@ -94,16 +103,32 @@ def draw_map_topdown(est_Twc=None, truth_Twc=None, points=None, cuboids=None,
     if est_Twc is not None:
         tr = [to_px(T[:3, 3]) for T in np.asarray(est_Twc)]
         d.line(tr, fill=(255, 80, 80), width=2)
+    def footprint(pose, scale, color, width=2):
+        pose = np.asarray(pose)
+        scale = np.asarray(scale)
+        corners_local = np.array(
+            [[1, 1, 0], [1, -1, 0], [-1, -1, 0], [-1, 1, 0]], dtype=np.float64
+        ) * np.array([scale[0], scale[1], 0.0])
+        cw = corners_local @ pose[:3, :3].T + pose[:3, 3]
+        px = [to_px(c) for c in cw] + [to_px(cw[0])]
+        d.line(px, fill=color, width=width)
+
     if cuboids is not None:
         for pose, scale in cuboids:
-            pose = np.asarray(pose)
-            scale = np.asarray(scale)
-            corners_local = np.array(
-                [[1, 1, 0], [1, -1, 0], [-1, -1, 0], [-1, 1, 0]], dtype=np.float64
-            ) * np.array([scale[0], scale[1], 0.0])
-            cw = corners_local @ pose[:3, :3].T + pose[:3, 3]
-            px = [to_px(c) for c in cw] + [to_px(cw[0])]
-            d.line(px, fill=(80, 160, 255), width=2)
+            footprint(pose, scale, (80, 160, 255))
+    if dynamic_tracks:
+        for poses, scale in dynamic_tracks:
+            poses = np.asarray(poses)
+            if len(poses) == 0:
+                continue
+            centers = [to_px(T[:3, 3]) for T in poses]
+            # fading trail: older segments darker (pose history over time)
+            for i in range(1, len(centers)):
+                f = i / max(len(centers) - 1, 1)
+                col = (int(120 + 135 * f), int(60 + 100 * f), 30)
+                d.line([centers[i - 1], centers[i]], fill=col, width=2)
+            footprint(poses[0], scale, (120, 70, 30), width=1)
+            footprint(poses[-1], scale, (255, 170, 60), width=2)
     return img
 
 

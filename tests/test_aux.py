@@ -173,3 +173,26 @@ def test_metrics_recorder_per_frame(tmp_path):
     s = trk.metrics.summary()
     assert s["frames"] == 6 and 0 < s["tracked_frac"] <= 1.0
     assert s["final_map_points"] > 50
+
+
+def test_topdown_dynamic_pose_history_rendering():
+    """MapDrawer's all-dynamic-poses view: pose-history trails render with
+    a fading trail and footprints at the first/latest pose."""
+    import numpy as np
+
+    from cube_slam_tpu.viz import drawing
+
+    poses = []
+    for i in range(8):
+        T = np.eye(4)
+        T[:3, 3] = [0.5 * i, 0.1 * i, 0.0]
+        poses.append(T)
+    img = drawing.draw_map_topdown(
+        est_Twc=np.stack([np.eye(4)] * 2),
+        dynamic_tracks=[(np.stack(poses), np.array([0.9, 0.4, 0.35]))],
+    )
+    a = np.asarray(img)
+    assert a.shape == (640, 640, 3)
+    # the orange trail/footprint pixels must exist (R > G > B channel order)
+    orange = (a[:, :, 0] > 150) & (a[:, :, 1] > 80) & (a[:, :, 2] < 100)
+    assert orange.sum() > 50
