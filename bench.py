@@ -211,8 +211,15 @@ def main():
     _stage(f"demo BA done {time.perf_counter() - t0:.0f}s")
     schur_dt, schur_ips, schur_mfu = bench_schur_ba(jax, jnp, np)
     _stage(f"schur BA done {time.perf_counter() - t0:.0f}s")
-    tracker_fps, n_tracked = bench_tracker(np)
-    _stage(f"tracker done {time.perf_counter() - t0:.0f}s")
+    # the tracker stage spans ~10 programs; guard it with a wall budget so
+    # a cold compile cache degrades to a partial report instead of a DNF
+    budget = float(os.environ.get("BENCH_BUDGET_S", "420"))
+    if time.perf_counter() - t0 < budget:
+        tracker_fps, n_tracked = bench_tracker(np)
+        _stage(f"tracker done {time.perf_counter() - t0:.0f}s")
+    else:
+        tracker_fps, n_tracked = None, None
+        _stage("tracker SKIPPED (budget)")
 
     per_frame = detect_dt + prep_dt + ba_dt
     fps = 1.0 / per_frame
@@ -222,7 +229,7 @@ def main():
         "value": round(fps, 3),
         "unit": "frames/s (detect+BA per frame, 1 chip)",
         "vs_baseline": round(fps / baseline_fps, 3),
-        "tracker_fps": round(tracker_fps, 2),
+        "tracker_fps": round(tracker_fps, 2) if tracker_fps else None,
         "tracker_frames_ok": n_tracked,
         "ba_iters_per_sec": round(schur_ips, 1),
         "schur_ba_ms": round(schur_dt * 1e3, 2),

@@ -326,14 +326,20 @@ class MonocularTracker:
         cand[:take] = cand_ids[:take]
         mvalid[:take] = True
 
+        # happy path: the WHOLE per-frame pipeline (motion tracking ->
+        # local-map search -> final pose optimization, with the kp->mp
+        # association built on device) is one fused program + one download
         fd = feats.dev or {}
-        Tcw, mp_to_kp, inlier, n_in, raw_match = trk.track_pose(
+        dev = self._mirror.get(self.map, self._map_version)
+        Tcw_f, kp_mp, n_in, n_in2, visible, raw_match = trk.track_frame_fused(
             jnp.asarray(Tcw_pred), self._K_dev,
-            jnp.asarray(self.map.mp_pos[cand]), jnp.asarray(self.map.mp_desc[cand]),
-            jnp.asarray(self.map.mp_level[cand]), jnp.asarray(mvalid),
+            jnp.asarray(cand), jnp.asarray(mvalid),
+            dev["mp_pos"], dev["mp_desc"], dev["mp_level"], dev["mp_valid"],
+            dev["mp_normal"], dev["mp_min_dist"], dev["mp_max_dist"],
             fd.get("xy", feats.xy), fd.get("desc", feats.desc),
             fd.get("level", feats.level), fd.get("valid", feats.valid),
-            jnp.float32(cfg.match_radius_motion), self._img_wh_dev,
+            jnp.float32(cfg.match_radius_motion),
+            jnp.float32(cfg.match_radius_local), self._img_wh_dev,
         )
         n_in = int(n_in)
         if n_in < cfg.min_inliers_track:
@@ -344,26 +350,48 @@ class MonocularTracker:
                 feats, cand, np.array(raw_match)
             )
             if ok_pnp and n_p >= cfg.min_inliers_track:
-                Tcw, mp_to_kp, n_in = Tcw_p, mp_to_kp_p, n_p
-            else:
-                # TrackReferenceKeyFrame analog (Tracking.cc:1160): global
-                # descriptor match against the reference KF's map points
-                ok_ref, Tcw, mp_to_kp, cand, n_in = self._track_reference_kf(
-                    feats, Tcw_pred
-                )
-                if not ok_ref:
-                    # relocalization (Tracking::Relocalization, :2876):
-                    # brute-force match against the whole map + PnP RANSAC
-                    return self._relocalize(feats)
+                return self._track_local_after_rescue(
+                    feats, Tcw_p, mp_to_kp_p, cand)
+            # TrackReferenceKeyFrame analog (Tracking.cc:1160): global
+            # descriptor match against the reference KF's map points
+            ok_ref, Tcw_r, mp_to_kp_r, cand_r, n_r = self._track_reference_kf(
+                feats, Tcw_pred
+            )
+            if ok_ref:
+                return self._track_local_after_rescue(
+                    feats, Tcw_r, mp_to_kp_r, cand_r)
+            # relocalization (Tracking::Relocalization, :2876)
+            return self._relocalize(feats)
 
-        # record associations from motion tracking
+        n_in2 = int(n_in2)
+        if n_in2 < cfg.min_inliers_local:
+            return False
+        feats.mp = np.array(kp_mp)
+        return self._finish_tracked_frame(feats, np.array(Tcw_f),
+                                          np.array(visible), n_in2)
+
+    def _finish_tracked_frame(self, feats, Tcw_f, visible, n_in2):
+        """Common epilogue: culling stats + motion model update."""
+        vis_ids = np.where(visible)[0]
+        self.map.mp_visible[vis_ids] += 1
+        found_ids = feats.mp[feats.mp >= 0]
+        self.map.mp_found[found_ids] += 1
+        self.velocity = Tcw_f @ np_geo.inv_T(self.last_Tcw)
+        self.last_Tcw = Tcw_f
+        self.tracked_inliers = n_in2
+        return True
+
+    def _track_local_after_rescue(self, feats, Tcw, mp_to_kp, cand):
+        """Rescue-path continuation: TrackLocalMap + final pose
+        optimization, host-driven (the rescue pose is already downloaded
+        and this path is rare, so fusing buys nothing)."""
+        cfg = self.cfg
+        fd = feats.dev or {}
         mp_to_kp = np.array(mp_to_kp)
         feats.mp = np.full(len(feats.valid), -1, dtype=np.int32)
         ok = mp_to_kp >= 0
         feats.mp[mp_to_kp[ok]] = cand[ok]
 
-        # --- TrackLocalMap over the whole map (device-mirrored arrays:
-        # re-uploaded only when the map actually changed)
         Tcw_np = np.array(Tcw)
         dev = self._mirror.get(self.map, self._map_version)
         mp_to_kp2, visible = trk.search_local_points(
@@ -405,18 +433,8 @@ class MonocularTracker:
         inl_f = np.array(inl_f)
         bad = kps[~inl_f[:take]]
         feats.mp[bad] = -1
-
-        # stats for culling
-        vis_ids = np.where(np.array(visible))[0]
-        self.map.mp_visible[vis_ids] += 1
-        found_ids = feats.mp[feats.mp >= 0]
-        self.map.mp_found[found_ids] += 1
-
-        Tcw_f = np.array(Tcw_f)
-        self.velocity = Tcw_f @ np_geo.inv_T(self.last_Tcw)
-        self.last_Tcw = Tcw_f
-        self.tracked_inliers = n_in2
-        return True
+        return self._finish_tracked_frame(feats, np.array(Tcw_f),
+                                          np.array(visible), n_in2)
 
     def _pnp_on_matches(self, feats, cand, raw_match):
         """PnP-RANSAC over (map point -> keypoint) matches."""

@@ -118,6 +118,71 @@ def search_local_points(
 
 
 @functools.partial(jax.jit, static_argnames=())
+def track_frame_fused(
+    Tcw_pred, K,
+    cand_ids, cand_valid,                          # (C,) map-point ids + mask
+    mp_pos, mp_desc, mp_level, mp_valid,           # FULL map arrays (M, ...)
+    mp_normal, mp_min_dist, mp_max_dist,
+    kp_xy, kp_desc, kp_level, kp_valid,            # frame keypoints (N, ...)
+    radius_motion, radius_local, img_wh,
+):
+    """The whole happy-path of Tracking::Track's per-frame pipeline as ONE
+    device program: motion-model candidate tracking (track_pose), local-map
+    projection search (search_local_points), and the final pose
+    optimization — with the keypoint->map-point association table built on
+    device. One dispatch + one download per frame instead of three
+    programs with host bookkeeping between them (which costs several
+    host<->device round trips each on real hardware).
+
+    Candidate map-point data is gathered from the FULL map arrays on
+    device, so the host uploads only the id list. The rare rescue paths
+    (PnP / reference-KF / relocalization) stay host-driven: the caller
+    falls back to them when the returned motion-stage inlier count is low.
+
+    Returns (Tcw, kp_mp (N,) int32 global map ids or -1, n_inlier_motion,
+    n_inlier_final, visible (M,) bool, raw_match (C,)).
+    """
+    N = kp_xy.shape[0]
+    M = mp_pos.shape[0]
+    cand_pos = mp_pos[cand_ids]
+    cand_desc = mp_desc[cand_ids]
+    cand_level = mp_level[cand_ids]
+
+    Tcw1, mp_to_kp, _inl1, n_in, raw = track_pose(
+        Tcw_pred, K, cand_pos, cand_desc, cand_level, cand_valid,
+        kp_xy, kp_desc, kp_level, kp_valid, radius_motion, img_wh)
+
+    # kp -> global map id from the motion stage (scatter, dummy slot N)
+    kp_mp = jnp.full((N + 1,), -1, dtype=jnp.int32)
+    m1 = mp_to_kp >= 0
+    tgt1 = jnp.where(m1, jnp.clip(mp_to_kp, 0, None), N)
+    kp_mp = kp_mp.at[tgt1].set(
+        jnp.where(m1, cand_ids.astype(jnp.int32), -1))
+    kp_mp = kp_mp.at[N].set(-1)
+
+    mp_to_kp2, visible = search_local_points(
+        Tcw1, K, mp_pos, mp_desc, mp_level, mp_valid, mp_normal,
+        mp_min_dist, mp_max_dist,
+        kp_xy, kp_desc, kp_level, kp_valid, kp_mp[:N] >= 0,
+        img_wh, radius_local)
+    m2 = mp_to_kp2 >= 0
+    tgt2 = jnp.where(m2, jnp.clip(mp_to_kp2, 0, None), N)
+    kp_mp = kp_mp.at[tgt2].set(
+        jnp.where(m2, jnp.arange(M, dtype=jnp.int32), -1))
+    kp_mp = kp_mp.at[N].set(-1)
+    kp_mp = kp_mp[:N]
+
+    # final pose optimization over every associated keypoint
+    assoc = (kp_mp >= 0) & kp_valid
+    pts = mp_pos[jnp.clip(kp_mp, 0, None)]
+    si = 1.0 / (SCALE_FACTOR ** kp_level.astype(jnp.float32))
+    Tcw_f, inl_f, n_in2 = ba.pose_optimization(
+        Tcw1, K, pts, kp_xy, si, assoc)
+    kp_mp = jnp.where(assoc & ~inl_f, -1, kp_mp)
+    return Tcw_f, kp_mp, n_in, n_in2, visible, raw
+
+
+@functools.partial(jax.jit, static_argnames=())
 def triangulate_pair(
     Tcw1, Tcw2, K,
     kp1_xy, kp1_desc, kp1_level, kp1_free,
