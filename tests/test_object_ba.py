@@ -248,3 +248,56 @@ def test_two_stage_schedule_prunes_outliers():
         for i in range(n_kf)
     ]
     assert max(pose_errs) < 0.02, pose_errs
+
+
+def test_association_promotes_by_shared_points():
+    """Candidate detections become ONE landmark when they own common map
+    points (Tracking.cc:1879-1923's association currency), and stay
+    unpromoted when they see disjoint point sets."""
+    import numpy as np
+
+    from cube_slam_tpu.slam.objects import Detection, ObjectManager
+    from cube_slam_tpu.slam.state import MapState
+
+    m = MapState(max_kf=4, max_mp=64, n_kp=32)
+    for k in range(2):
+        m.kf_valid[k] = True
+        m.kf_tcw[k] = np.eye(4, dtype=np.float32)
+    # map points 0..9 observed by both KFs at keypoints 0..9
+    m.mp_valid[:10] = True
+    for k in range(2):
+        m.kf_kp_valid[k, :10] = True
+        m.kf_kp_mp[k, :10] = np.arange(10)
+    # KF1 additionally owns disjoint points 20..24 at kps 20..24
+    m.mp_valid[20:25] = True
+    m.kf_kp_valid[1, 20:25] = True
+    m.kf_kp_mp[1, 20:25] = np.arange(20, 25)
+
+    def det(kf, kps):
+        return Detection(
+            kf_id=kf, local_pose=np.eye(4, dtype=np.float32),
+            scale=np.array([0.5, 0.4, 0.3], np.float32),
+            bbox=np.array([50, 50, 40, 40], np.float32),
+            quality=0.8, owned_kps=np.asarray(kps))
+
+    mgr = ObjectManager(detector=None, min_owned_points=5,
+                        min_shared_promote=5, min_obs_to_promote=2)
+    d0 = det(0, np.arange(10))
+    mgr.detections.append(d0)
+    d0.landmark = -2
+    # same object seen again: shares all 10 points -> promote, both linked
+    d1 = det(1, np.arange(10))
+    mgr.associate(m, 1, [d1])
+    assert d1.landmark >= 0 and d0.landmark == d1.landmark
+    assert mgr.store.valid[d1.landmark]
+
+    # a detection over DISJOINT points must not merge into that candidate
+    mgr2 = ObjectManager(detector=None, min_owned_points=5,
+                         min_shared_promote=5, min_obs_to_promote=2)
+    e0 = det(0, np.arange(10))
+    mgr2.detections.append(e0)
+    e0.landmark = -2
+    e1 = det(1, np.arange(20, 25))
+    mgr2.associate(m, 1, [e1])
+    assert e1.landmark == -2  # provisional, not promoted
+    assert not mgr2.store.valid.any()

@@ -125,3 +125,35 @@ def test_sharded_matches_single_device_and_converges():
     np.testing.assert_allclose(np.asarray(cp1), np.asarray(cp2), atol=1e-4)
     np.testing.assert_allclose(np.asarray(cs1), np.asarray(cs2), atol=1e-4)
     assert float(chi2) < 1e-2  # converged on the exact-odometry problem
+
+
+def test_sharded_detector_matches_single_device():
+    """Data-parallel cuboid detection: the per-bbox batch sharded over the
+    8-device mesh must produce the same top-k proposals as one device
+    (embarrassingly parallel over objects — zero-communication GSPMD)."""
+    import numpy as np
+
+    from cube_slam_tpu.models.detector import CuboidDetector, detect_lattice_batch
+    from cube_slam_tpu.parallel import mesh as mesh_mod
+    from cube_slam_tpu.parallel.sharded_detector import detect_lattice_sharded
+    from cube_slam_tpu.utils import io
+
+    fx = io.load_detect3d_fixture()
+    det = CuboidDetector()
+    det.set_calibration(fx["K"])
+    # 6 copies of the fixture bbox: NB=6 pads to 8 on the mesh (pad rows
+    # must yield no proposals)
+    bboxes = np.repeat(fx["bbox"], 6, axis=0)
+    kernel_args, _ = det.prepare_batch(fx["gray"], fx["Twc"], bboxes, fx["edges"])
+
+    _res, _idx, scores_1, valid_1, packed_1 = detect_lattice_batch(**kernel_args)
+
+    m = mesh_mod.make_mesh(8, axis_name="obj")
+    _res8, _idx8, scores_8, valid_8, packed_8 = detect_lattice_sharded(m, kernel_args)
+
+    assert scores_8.shape == scores_1.shape
+    np.testing.assert_array_equal(np.asarray(valid_8), np.asarray(valid_1))
+    np.testing.assert_allclose(np.asarray(scores_8), np.asarray(scores_1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(packed_8), np.asarray(packed_1),
+                               rtol=1e-4, atol=1e-4)
