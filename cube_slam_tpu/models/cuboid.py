@@ -52,10 +52,15 @@ def to_minimal_vector(c: Cuboid):
 
 def exp_update(c: Cuboid, update9):
     """Right-multiplicative tangent update (g2o_Object.h:57-63):
-    pose' = pose * exp(update[:6]); scale' = scale + update[6:9]."""
+    pose' = pose * exp(update[:6]); scale' = scale + update[6:9].
+
+    Scale is floored at 1 cm: the additive update can otherwise step
+    through zero when bbox edges alone (depth-ambiguous) drive the
+    optimization, and a negative half-extent silently flips the cuboid
+    inside out."""
     return Cuboid(
         pose=c.pose @ geo.se3_exp(update9[..., :6]),
-        scale=c.scale + update9[..., 6:9],
+        scale=jnp.maximum(c.scale + update9[..., 6:9], 0.01),
     )
 
 

@@ -323,19 +323,30 @@ class ObjectManager:
         return np.linalg.norm(w1[:3, 3] - w2[:3, 3]) < max_dist
 
     # ------------------------------------------------------------------
-    def filter_and_recenter(self, map_state, coarse_threshold=4.0,
-                            fine_threshold=3.0, min_points_recenter=5):
+    def filter_and_recenter(self, map_state, coarse_factor=1.8,
+                            fine_factor=1.35, min_points_recenter=5):
         """Owned-point outlier filter + object re-centering pre-pass
         (Optimizer.cc:1180-1224): per object, two-round distance-to-mean
-        filtering of its owned points (coarse 4 m, fine 3 m — same for
-        kitti), outliers lose their ownership vote, and when enough points
-        survive the object's position is reset to their mean before BA."""
+        filtering of its owned points; outliers lose their ownership vote,
+        and when enough points survive the object's position is reset to
+        their mean before BA.
+
+        The reference hardcodes 4 m / 3 m — car-sized absolutes (KITTI car
+        half-diagonal ~2.2 m: factors 1.8 / 1.35 of it). Absolute metric
+        thresholds are meaningless for a 0.4 m indoor object (every
+        background point inside the 2D box passes, and the recenter mean
+        drags the object into the wall behind it), so the thresholds scale
+        with the object's own half-diagonal — equal to the reference's
+        values at car scale, proportionally tight for small objects."""
         m = map_state
         st = self.store
         for o in np.where(st.valid)[0]:
             ids = np.where(m.mp_valid & (m.mp_best_obj == o))[0]
             if len(ids) == 0:
                 continue
+            half_diag = float(np.linalg.norm(st.scale[o]))
+            coarse_threshold = coarse_factor * half_diag
+            fine_threshold = fine_factor * half_diag
             p = m.mp_pos[ids].astype(np.float64)
             mean1 = p.mean(axis=0)
             coarse = np.linalg.norm(p - mean1, axis=1) < coarse_threshold
@@ -343,10 +354,14 @@ class ObjectManager:
                 continue
             mean2 = p[coarse].mean(axis=0)
             fine = np.linalg.norm(p - mean2, axis=1) < fine_threshold
+            if fine.sum() <= min_points_recenter:
+                # too few survivors to trust the filter: keep ownership as
+                # is — stripping every vote would leave the object with
+                # only depth-ambiguous bbox edges
+                continue
             # outliers lose the ownership vote ("else remove observation")
             m.mp_best_obj[ids[~fine]] = -1
-            if fine.sum() > min_points_recenter:
-                st.pose[o][:3, 3] = p[fine].mean(axis=0).astype(np.float32)
+            st.pose[o][:3, 3] = p[fine].mean(axis=0).astype(np.float32)
 
     # ------------------------------------------------------------------
     def ba_edges(self, map_state, kf_map, max_box_edges=64, max_po_edges=512,
