@@ -475,9 +475,10 @@ class MonocularTracker:
         take = min(len(ids), M)
         cand[:take] = ids[:take]
         mvalid[:take] = True
+        fd = feats.dev or {}
         d = matching.hamming_matrix(
-            jnp.asarray(m.mp_desc[cand]), jnp.asarray(feats.desc),
-            jnp.asarray(mvalid), jnp.asarray(feats.valid),
+            jnp.asarray(m.mp_desc[cand]), fd.get("desc", feats.desc),
+            jnp.asarray(mvalid), fd.get("valid", feats.valid),
         )
         idx, _ = matching.match_mutual_ratio(d, max_dist=matching.TH_LOW, ratio=0.85,
                                              mutual=True)
@@ -536,9 +537,10 @@ class MonocularTracker:
         take = min(len(ids), M)
         cand[:take] = ids[:take]
         mvalid[:take] = True
+        fd = feats.dev or {}
         d = matching.hamming_matrix(
-            jnp.asarray(m.mp_desc[cand]), jnp.asarray(feats.desc),
-            jnp.asarray(mvalid), jnp.asarray(feats.valid),
+            jnp.asarray(m.mp_desc[cand]), fd.get("desc", feats.desc),
+            jnp.asarray(mvalid), fd.get("valid", feats.valid),
         )
         idx, _ = matching.match_mutual_ratio(d, max_dist=64, ratio=0.9, mutual=True)
         idx = np.array(idx)
