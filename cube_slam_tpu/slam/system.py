@@ -771,20 +771,42 @@ class MonocularTracker:
         order = [int(i) for i in np.argsort(-counts) if counts[i] >= 10]
         neighbors = order[: cfg.triangulate_neighbors]
         free_k = m.kf_kp_valid[k] & (m.kf_kp_mp[k] < 0)
-        for nb in neighbors:
-            free_nb = m.kf_kp_valid[nb] & (m.kf_kp_mp[nb] < 0)
-            if free_k.sum() < 5 or free_nb.sum() < 5:
-                continue
-            X, m12, ok = trk.triangulate_pair(
-                jnp.asarray(m.kf_tcw[k]), jnp.asarray(m.kf_tcw[nb]), jnp.asarray(self.K),
-                jnp.asarray(m.kf_kp_xy[k]), jnp.asarray(m.kf_kp_desc[k]),
-                jnp.asarray(m.kf_kp_level[k]), jnp.asarray(free_k),
-                jnp.asarray(m.kf_kp_xy[nb]), jnp.asarray(m.kf_kp_desc[nb]),
-                jnp.asarray(m.kf_kp_level[nb]), jnp.asarray(free_nb),
-            )
-            X = np.array(X)
-            m12 = np.array(m12)
-            ok = np.array(ok) & free_k
+        neighbors = [nb for nb in neighbors
+                     if (m.kf_kp_valid[nb] & (m.kf_kp_mp[nb] < 0)).sum() >= 5]
+        if not neighbors or free_k.sum() < 5:
+            self._refresh_mp_geometry(m.mp_ids())
+            return
+
+        # ONE batched program for all neighbor baselines (padded to the
+        # config's neighbor count so the compile is reused); per-neighbor
+        # results are applied sequentially on host, re-checking free_k so a
+        # keypoint triangulated against an earlier neighbor isn't duplicated
+        NB = cfg.triangulate_neighbors
+        Tcw2 = np.stack([m.kf_tcw[nb] for nb in neighbors]
+                        + [np.eye(4, dtype=np.float32)] * (NB - len(neighbors)))
+        pad = np.zeros((NB - len(neighbors), m.n_kp), dtype=bool)
+        free_nb = np.concatenate(
+            [np.stack([m.kf_kp_valid[nb] & (m.kf_kp_mp[nb] < 0)
+                       for nb in neighbors]), pad]) if len(neighbors) < NB \
+            else np.stack([m.kf_kp_valid[nb] & (m.kf_kp_mp[nb] < 0)
+                           for nb in neighbors])
+        stack = lambda arr: np.concatenate(
+            [np.stack([arr[nb] for nb in neighbors]),
+             np.zeros((NB - len(neighbors),) + arr.shape[1:], arr.dtype)]) \
+            if len(neighbors) < NB else np.stack([arr[nb] for nb in neighbors])
+
+        X_s, m12_s, ok_s = trk.triangulate_multi(
+            jnp.asarray(m.kf_tcw[k]), jnp.asarray(Tcw2), self._K_dev,
+            jnp.asarray(m.kf_kp_xy[k]), jnp.asarray(m.kf_kp_desc[k]),
+            jnp.asarray(m.kf_kp_level[k]), jnp.asarray(free_k),
+            jnp.asarray(stack(m.kf_kp_xy)), jnp.asarray(stack(m.kf_kp_desc)),
+            jnp.asarray(stack(m.kf_kp_level)), jnp.asarray(free_nb),
+        )
+        X_s = np.array(X_s)
+        m12_s = np.array(m12_s)
+        ok_s = np.array(ok_s)
+        for i, nb in enumerate(neighbors):
+            ok = ok_s[i] & free_k
             sel = np.where(ok)[0]
             if len(sel) == 0:
                 continue
@@ -794,7 +816,7 @@ class MonocularTracker:
                                "triangulation for KF %d", k)
                 break
             sel = sel[: len(ids)]
-            m.mp_pos[ids] = X[sel]
+            m.mp_pos[ids] = X_s[i, sel]
             m.mp_valid[ids] = True
             m.mp_desc[ids] = m.kf_kp_desc[k, sel]
             m.mp_level[ids] = m.kf_kp_level[k, sel]
@@ -803,7 +825,7 @@ class MonocularTracker:
             m.mp_visible[ids] = 1
             m.mp_found[ids] = 1
             m.kf_kp_mp[k, sel] = ids
-            m.kf_kp_mp[nb, m12[sel]] = ids
+            m.kf_kp_mp[nb, m12_s[i, sel]] = ids
             free_k = m.kf_kp_valid[k] & (m.kf_kp_mp[k] < 0)
         self._refresh_mp_geometry(m.mp_ids())
 

@@ -252,6 +252,21 @@ def triangulate_pair(
     return X, m12, ok
 
 
+@functools.partial(jax.jit, static_argnames=())
+def triangulate_multi(Tcw1, Tcw2_stack, K,
+                      kp1_xy, kp1_desc, kp1_level, kp1_free,
+                      kp2_xy_s, kp2_desc_s, kp2_level_s, kp2_free_s):
+    """triangulate_pair vmapped over a stack of neighbor keyframes — ONE
+    device program covers every triangulation baseline of a new keyframe
+    (the host previously dispatched one program per covisible neighbor).
+    Pad unused neighbor slots with all-False kp2_free masks."""
+    fn = jax.vmap(
+        triangulate_pair,
+        in_axes=(None, 0, None, None, None, None, None, 0, 0, 0, 0))
+    return fn(Tcw1, Tcw2_stack, K, kp1_xy, kp1_desc, kp1_level, kp1_free,
+              kp2_xy_s, kp2_desc_s, kp2_level_s, kp2_free_s)
+
+
 def evaluate_ate_scaled(est_Twc, truth_Twc):
     """Mono ATE with Sim3 (Umeyama) alignment — scale is unobservable in
     pure monocular SLAM."""
