@@ -847,19 +847,32 @@ class MonocularTracker:
         take = min(len(ids), M)
         cand[:take] = ids[:take]
         mvalid[:take] = True
-        for nb in order:
-            mp_to_kp, _ = trk.search_local_points(
-                jnp.asarray(m.kf_tcw[nb]), jnp.asarray(self.K),
-                jnp.asarray(m.mp_pos[cand]), jnp.asarray(m.mp_desc[cand]),
-                jnp.asarray(m.mp_level[cand]), jnp.asarray(mvalid),
-                jnp.asarray(m.mp_normal[cand]), jnp.asarray(m.mp_min_dist[cand]),
-                jnp.asarray(m.mp_max_dist[cand]),
-                jnp.asarray(m.kf_kp_xy[nb]), jnp.asarray(m.kf_kp_desc[nb]),
-                jnp.asarray(m.kf_kp_level[nb]), jnp.asarray(m.kf_kp_valid[nb]),
-                jnp.zeros(m.n_kp, dtype=bool),
-                jnp.asarray(self.img_wh), jnp.float32(2.5),
-            )
-            mp_to_kp = np.array(mp_to_kp)
+        if not order:
+            return
+        # pad to a fixed neighbor count so the batched program's compile is
+        # reused; padded slots project with an identity pose but carry
+        # all-False keypoint validity -> no matches
+        NN = n_neighbors
+        nbs = order + [order[-1]] * (NN - len(order))
+        pad_valid = np.stack(
+            [m.kf_kp_valid[nb] if i < len(order) else
+             np.zeros(m.n_kp, dtype=bool) for i, nb in enumerate(nbs)])
+        mp_to_kp_s, _ = trk.search_local_points_multi(
+            jnp.asarray(np.stack([m.kf_tcw[nb] for nb in nbs])), self._K_dev,
+            jnp.asarray(m.mp_pos[cand]), jnp.asarray(m.mp_desc[cand]),
+            jnp.asarray(m.mp_level[cand]), jnp.asarray(mvalid),
+            jnp.asarray(m.mp_normal[cand]), jnp.asarray(m.mp_min_dist[cand]),
+            jnp.asarray(m.mp_max_dist[cand]),
+            jnp.asarray(np.stack([m.kf_kp_xy[nb] for nb in nbs])),
+            jnp.asarray(np.stack([m.kf_kp_desc[nb] for nb in nbs])),
+            jnp.asarray(np.stack([m.kf_kp_level[nb] for nb in nbs])),
+            jnp.asarray(pad_valid),
+            jnp.asarray(np.zeros((NN, m.n_kp), dtype=bool)),
+            self._img_wh_dev, jnp.float32(2.5),
+        )
+        mp_to_kp_s = np.array(mp_to_kp_s)
+        for i, nb in enumerate(order):
+            mp_to_kp = mp_to_kp_s[i]
             sel = np.where(mp_to_kp >= 0)[0]
             if len(sel) == 0:
                 continue

@@ -267,6 +267,25 @@ def triangulate_multi(Tcw1, Tcw2_stack, K,
               kp2_xy_s, kp2_desc_s, kp2_level_s, kp2_free_s)
 
 
+@functools.partial(jax.jit, static_argnames=())
+def search_local_points_multi(Tcw_stack, K,
+                              mp_pos, mp_desc, mp_level, mp_valid,
+                              mp_normal, mp_min_dist, mp_max_dist,
+                              kp_xy_s, kp_desc_s, kp_level_s, kp_valid_s,
+                              kp_taken_s, img_wh, radius):
+    """search_local_points vmapped over a stack of target keyframes (the
+    SearchInNeighbors fusion projects one candidate set into several
+    covisible keyframes — one program instead of one per neighbor)."""
+    fn = jax.vmap(
+        search_local_points,
+        in_axes=(0, None, None, None, None, None, None, None, None,
+                 0, 0, 0, 0, 0, None, None))
+    return fn(Tcw_stack, K, mp_pos, mp_desc, mp_level, mp_valid,
+              mp_normal, mp_min_dist, mp_max_dist,
+              kp_xy_s, kp_desc_s, kp_level_s, kp_valid_s, kp_taken_s,
+              img_wh, radius)
+
+
 def evaluate_ate_scaled(est_Twc, truth_Twc):
     """Mono ATE with Sim3 (Umeyama) alignment — scale is unobservable in
     pure monocular SLAM."""
