@@ -59,11 +59,7 @@ def track_dynamic_object(
     # --- Harris corners on the object in frame 0 (Tracking.cc:2258-2338);
     # erode the mask so corners sit on the object interior (edge corners
     # mix background and die immediately under KLT)
-    m0 = masks[0]
-    er = m0.copy()
-    for dy in (-3, 0, 3):
-        for dx in (-3, 0, 3):
-            er &= np.roll(np.roll(m0, dy, axis=0), dx, axis=1)
+    er = _erode(masks[0])
     xy0, valid0 = klt.harris_corners(
         jnp.asarray(frames[0], dtype=jnp.float32), max_corners=max_pts,
         mask=jnp.asarray(er),
@@ -232,11 +228,26 @@ class _DynChain:
         self.last_center_uv = None
 
 
+def _shift2d(mask, dy, dx):
+    """Shift a bool image with ZERO padding (np.roll would wrap borders:
+    pixels near one edge would erode based on the opposite edge)."""
+    out = np.zeros_like(mask)
+    H, W = mask.shape
+    ys = slice(max(dy, 0), H + min(dy, 0))
+    xs = slice(max(dx, 0), W + min(dx, 0))
+    yd = slice(max(-dy, 0), H + min(-dy, 0))
+    xd = slice(max(-dx, 0), W + min(-dx, 0))
+    out[ys, xs] = mask[yd, xd]
+    return out
+
+
 def _erode(mask, r=3):
     er = mask.copy()
     for dy in (-r, 0, r):
         for dx in (-r, 0, r):
-            er &= np.roll(np.roll(mask, dy, axis=0), dx, axis=1)
+            if dy == 0 and dx == 0:
+                continue
+            er &= _shift2d(mask, dy, dx)
     return er
 
 
@@ -686,7 +697,10 @@ class DynamicObjectManager:
                 if obj_kf_valid[oi, i]:
                     ch.kf_pose[k] = obj_out[oi, i]
             ch.velocity = vel_out[oi]
-            last_k = max(kk for kk in ch.kf_pose if kk in kf_local)
+            # latest by TIME (kf_frame_id), not slot id — KF slot recycling
+            # breaks slot-order == time-order (window is time-sorted too)
+            last_k = max((kk for kk in ch.kf_pose if kk in kf_local),
+                         key=lambda kk: int(m.kf_frame_id[kk]))
             ch.velocity_history.append((last_k, vel_out[oi].copy()))
             ch.local = pts_out[oi * Qp:(oi + 1) * Qp]
         return window
@@ -719,12 +733,20 @@ class DynamicRgbdTracker:
         class _Impl(RgbdTracker):
             def _extract(self, gray):
                 feats = super()._extract(gray)
+                masked = False
                 for d in outer._pending_dyn:
                     xi = np.clip(feats.xy[:, 0].astype(int), 0,
                                  d.mask.shape[1] - 1)
                     yi = np.clip(feats.xy[:, 1].astype(int), 0,
                                  d.mask.shape[0] - 1)
                     feats.valid &= ~d.mask[yi, xi]
+                    masked = True
+                if masked and feats.dev is not None:
+                    # the fused tracking path consumes the DEVICE copy of
+                    # the validity mask (system.py track_frame_fused) — a
+                    # host-only mask would leave dynamic keypoints dragging
+                    # the static camera pose (KeysStatic, Frame.cc:221-264)
+                    feats.dev["valid"] = jnp.asarray(feats.valid)
                 return feats
 
             def _create_keyframe(self, feats):

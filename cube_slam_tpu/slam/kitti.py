@@ -275,9 +275,14 @@ def run_kitti_sequence(seq, init_to_ground, config=None, max_frames=None,
     if output_prefix:
         stamps = (seq.times[:n] if seq.times is not None
                   else np.arange(n, dtype=np.float64))
-        poses = [T for _, T in tracker.trajectory]
+        # RECOMPOSED trajectory: mid-run scale anchors / ground recoveries /
+        # loop corrections rescale past keyframes retroactively, so the
+        # as-tracked pose list mixes units across frames — the reference
+        # recomposes frames through current KF poses (System.cc:301-364)
+        poses = [T for _, T in tracker.final_trajectory()]
         ser.save_trajectory_tum(output_prefix + "_tum.txt", stamps, poses)
         ser.save_trajectory_kitti(output_prefix + "_kitti.txt", poses)
         ser.save_cuboids_txt(output_prefix + "_cuboids.txt",
-                             tracker.objects.store)
+                             tracker.objects.store,
+                             dynamic_manager=getattr(tracker, "dynamic", None))
     return tracker

@@ -65,15 +65,22 @@ class LoopDetector:
 
     def __init__(self, min_gap_kfs=10, margin=1.02, abs_floor=0.35):
         self.signatures = {}
+        # insertion order per kf id: the temporal rank used for the min-gap
+        # test (KF slot ids are recycled, so slot distance is NOT time)
+        self._order = {}
+        self._n_added = 0
         self.min_gap_kfs = min_gap_kfs
         self.margin = margin
         self.abs_floor = abs_floor
 
     def add(self, kf_id, desc, valid):
         self.signatures[int(kf_id)] = keyframe_signature(desc, valid)
+        self._order[int(kf_id)] = self._n_added
+        self._n_added += 1
 
     def remove(self, kf_id):
         self.signatures.pop(int(kf_id), None)
+        self._order.pop(int(kf_id), None)
 
     def detect(self, kf_id, covisible_ids):
         """Returns candidate kf ids sorted by similarity (best first)."""
@@ -90,9 +97,11 @@ class LoopDetector:
         # absolute floor guards the empty-covisible case
         cov_sims = [s for i, s in zip(others, sims) if i in cov]
         floor = max(min(cov_sims) if cov_sims else 0.0, self.abs_floor)
+        my_rank = self._order.get(kf_id, self._n_added)
         cands = [
             (s, i) for i, s in zip(others, sims)
-            if i not in cov and abs(kf_id - i) >= self.min_gap_kfs
+            if i not in cov
+            and abs(my_rank - self._order.get(i, -10**9)) >= self.min_gap_kfs
             and s > floor * self.margin
         ]
         cands.sort(reverse=True)

@@ -612,7 +612,10 @@ class MonocularTracker:
         crashing. The reference never hits this (heap-allocated graph);
         fixed-capacity arrays need an explicit policy."""
         m = self.map
-        kfs = sorted(int(i) for i in m.kf_ids())
+        # rank by TIME (kf_frame_id): slot recycling breaks slot-order ==
+        # temporal order, and eviction must never take a recent keyframe
+        kfs = sorted((int(i) for i in m.kf_ids()),
+                     key=lambda i: int(m.kf_frame_id[i]))
         protect = {int(self.ref_kf)} | set(kfs[-2:])
         cands = [k for k in kfs if k not in protect]
         if not cands:

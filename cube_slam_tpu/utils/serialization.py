@@ -43,9 +43,15 @@ def save_trajectory_kitti(path, poses_Tcw):
             f.write(" ".join(f"{v:.9e}" for v in row) + "\n")
 
 
-def save_cuboids_txt(path, obj_store):
+def save_cuboids_txt(path, obj_store, dynamic_manager=None):
     """Optimized global cuboids: `id x y z yaw l w h` per landmark
-    (SaveOptimizedCuboidsToTxt analog, Tracking_util.cc:71-206)."""
+    (SaveOptimizedCuboidsToTxt analog, Tracking_util.cc:71-206).
+
+    When a DynamicObjectManager is given, two sibling files are written
+    mirroring the reference's per-KF dumps (Tracking_util.cc:112-206):
+    `<path w/o ext>_dynamic.txt` — `tracklet kf_frame_id x y z yaw` per
+    (object, keyframe) pose — and `<path w/o ext>_velocity.txt` —
+    `tracklet kf_frame_id v steer` velocity history rows."""
     with open(path, "w") as f:
         for o in np.where(obj_store.valid)[0]:
             pose = obj_store.pose[o].astype(np.float64)
@@ -56,6 +62,25 @@ def save_cuboids_txt(path, obj_store):
                 f"{o} {t[0]:.4f} {t[1]:.4f} {t[2]:.4f} {y:.4f} "
                 f"{s[0]:.4f} {s[1]:.4f} {s[2]:.4f}\n"
             )
+    if dynamic_manager is None:
+        return
+    stem = path[:-4] if path.endswith(".txt") else path
+    with open(stem + "_dynamic.txt", "w") as f:
+        for tid in sorted(dynamic_manager.chains):
+            ch = dynamic_manager.chains[tid]
+            for k in sorted(ch.kf_pose, key=lambda k: ch.kf_frame.get(k, k)):
+                pose = ch.kf_pose[k].astype(np.float64)
+                _, _, y = np_geo.rot_to_euler_zyx(pose[:3, :3])
+                t = pose[:3, 3]
+                fid = ch.kf_frame.get(k, -1)
+                f.write(f"{tid} {fid} {t[0]:.4f} {t[1]:.4f} {t[2]:.4f} "
+                        f"{y:.4f}\n")
+    with open(stem + "_velocity.txt", "w") as f:
+        for tid in sorted(dynamic_manager.chains):
+            ch = dynamic_manager.chains[tid]
+            for k, v in ch.velocity_history:
+                fid = ch.kf_frame.get(k, -1)
+                f.write(f"{tid} {fid} {v[0]:.4f} {v[1]:.4f}\n")
 
 
 # ---------------------------------------------------------------------------

@@ -67,7 +67,9 @@ def main():
     wall = time.time() - t0
 
     est, tru, stamps = [], [], []
-    for fid, T in trk.trajectory:
+    # recomposed through current KF poses (SaveTrajectoryTUM semantics):
+    # loop corrections and rescales reach the output
+    for fid, T in trk.final_trajectory():
         if T is not None:
             est.append(np.linalg.inv(T))
             tru.append(seq.truth_Twc(fid))

@@ -63,7 +63,7 @@ def main():
     # SLAM world = first camera frame; map into the ground-truth world
     G = poses[0]
     est, tru = [], []
-    for fid, T in trk.trajectory:
+    for fid, T in trk.final_trajectory():
         if T is not None:
             est.append(G @ np.linalg.inv(T))
             tru.append(poses[fid])

@@ -124,6 +124,13 @@ def test_tracker_closes_drifted_loop():
         # _create_keyframe, before loop detection)
         tr.loop_detector.add(k, m.kf_kp_desc[k], m.kf_kp_valid[k])
 
+        # record the as-tracked trajectory the way track() does, so
+        # final_trajectory() can recompose through corrected KF poses
+        tr.frame_id = i
+        tr.ref_kf = k
+        tr.trajectory.append((i, est_tcw[i].copy()))
+        tr._record_pose(est_tcw[i])
+
     def kf_errs():
         errs = []
         for i in range(n_kf):
@@ -170,3 +177,28 @@ def test_tracker_closes_drifted_loop():
     revisit_mps = set(m.kf_kp_mp[k_last][m.kf_kp_mp[k_last] >= 0].tolist())
     kf0_mps = set(mp_ids_of_kf[0].tolist())
     assert revisit_mps & kf0_mps, "no loop-side points fused into revisit KF"
+
+    # --- corrected-output contract (System::SaveTrajectoryTUM semantics):
+    # the SAVED trajectory file must carry the loop-corrected poses, not
+    # the as-tracked drifted ones
+    import os
+    import tempfile
+
+    from cube_slam_tpu.utils import serialization as ser
+
+    final = dict(tr.final_trajectory())
+    for i in range(n_kf):
+        assert final[i] is not None
+        assert np.allclose(final[i], m.kf_tcw[i], atol=1e-4), i
+
+    path = os.path.join(tempfile.mkdtemp(), "traj_tum.txt")
+    ser.save_trajectory_tum(path, np.arange(n_kf, dtype=np.float64),
+                            [T for _, T in tr.final_trajectory()])
+    rows = np.loadtxt(path)
+    assert rows.shape[0] == n_kf
+    Twc_corr = np.linalg.inv(m.kf_tcw[k_last].astype(np.float64))
+    Twc_drift = np.linalg.inv(est_tcw[k_last].astype(np.float64))
+    # the endpoint moved by the correction; the file must show the moved one
+    assert np.linalg.norm(Twc_corr[:3, 3] - Twc_drift[:3, 3]) > 0.05
+    assert np.allclose(rows[-1, 1:4], Twc_corr[:3, 3], atol=1e-3)
+    assert not np.allclose(rows[-1, 1:4], Twc_drift[:3, 3], atol=1e-2)
