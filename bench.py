@@ -154,11 +154,13 @@ def bench_schur_ba(jax, jnp, np, n_kf=16, n_pt=2048, n_edge=8192, iters=5):
     pt_valid = np.ones(n_pt, bool)
     pts_noisy = pts + rng.normal(0, 0.03, size=pts.shape).astype(np.float32)
 
+    pair_e1, pair_e2 = ba.make_schur_pairs(obs_pt, valid)
     args = (jnp.asarray(kf_tcw), jnp.asarray(pts_noisy), jnp.asarray(K),
             jnp.asarray(obs_kf), jnp.asarray(obs_pt), jnp.asarray(obs_uv),
             jnp.asarray(si), jnp.asarray(valid), jnp.asarray(kf_fixed),
             jnp.asarray(pt_valid))
-    kw = dict(num_iters=iters, n_kf=n_kf, n_pt=n_pt)
+    kw = dict(num_iters=iters, n_kf=n_kf, n_pt=n_pt,
+              pair_e1=jnp.asarray(pair_e1), pair_e2=jnp.asarray(pair_e2))
     compiled, flops = _aot(ba.local_ba_points, *args, **kw)
     jax.block_until_ready(compiled(*args))
     n = 10
@@ -172,25 +174,66 @@ def bench_schur_ba(jax, jnp, np, n_kf=16, n_pt=2048, n_edge=8192, iters=5):
 
 
 def bench_tracker(np, n_frames=36, warmup=12):
-    """The ACTUAL SLAM tracker on a synthetic video-rate sequence."""
+    """The ACTUAL SLAM tracker on a synthetic video-rate sequence.
+
+    Frames are uint8 (the real input format; 4x less tunnel bandwidth than
+    f32). Warmup includes one deliberate tracking break so the rescue-path
+    programs (PnP / reference-KF / relocalization) compile outside the
+    measured window — a first-rescue compile spike is a one-time cost, not
+    steady-state throughput."""
     from cube_slam_tpu.slam.system import MonocularTracker, TrackerConfig
     from cube_slam_tpu.utils import synth
 
     K = np.array([[320.0, 0, 160], [0, 320.0, 120], [0, 0, 1]], np.float32)
     scene = synth.RoomScene(seed=2)
     poses = synth.camera_path(n_frames)
-    frames = [scene.render(poses[i], K, wh=(320, 240)) for i in range(n_frames)]
+    frames = [np.clip(scene.render(poses[i], K, wh=(320, 240)), 0, 255)
+              .astype(np.uint8) for i in range(n_frames)]
     cfg = TrackerConfig(n_features=600, n_levels=3, max_kf=48, max_mp=8192,
                         min_init_kps=80, min_init_matches=80)
     trk = MonocularTracker(K, (320, 240), cfg)
     for f in frames[:warmup]:  # compiles all per-frame programs
         trk.track(f)
+    # warm the rescue paths: a wide jump back breaks the motion model
+    trk.track(frames[2])
+    trk.track(frames[warmup - 1])
+    trk.track(frames[warmup - 1])
     t0 = time.perf_counter()
     for f in frames[warmup:]:
         trk.track(f)
     dt = (time.perf_counter() - t0) / (n_frames - warmup)
-    n_tracked = sum(1 for _, T in trk.trajectory if T is not None)
+    n_tracked = sum(1 for fid, T in trk.trajectory
+                    if T is not None and fid < n_frames)
     return 1.0 / dt, n_tracked
+
+
+def bench_tracker_ref_cfg(np, n_frames=14, warmup=6):
+    """Steady-state per-frame cost at the REFERENCE's KITTI settings:
+    3000 features x 8 levels (Examples/Monocular/KITTI04-12_me.yaml:19,35)
+    on KITTI-sized frames (1226x370). Reports the tracked-frame (non-KF)
+    fps — the reference's envelope is ~5 fps replay / 10 fps camera."""
+    from cube_slam_tpu.slam.system import MonocularTracker, TrackerConfig
+    from cube_slam_tpu.utils import synth
+
+    wh = (1226, 370)
+    K = np.array([[707.0, 0, 601.8], [0, 707.0, 183.1], [0, 0, 1]],
+                 np.float32)
+    scene = synth.RoomScene(seed=2)
+    poses = synth.camera_path(n_frames)
+    frames = [np.clip(scene.render(poses[i], K, wh=wh), 0, 255)
+              .astype(np.uint8) for i in range(n_frames)]
+    cfg = TrackerConfig(n_features=3000, n_levels=8, max_kf=48, max_mp=16384,
+                        min_init_kps=80, min_init_matches=80)
+    trk = MonocularTracker(K, wh, cfg)
+    times = []
+    for i, f in enumerate(frames):
+        t0 = time.perf_counter()
+        trk.track(f)
+        times.append(time.perf_counter() - t0)
+    ts = np.asarray(times[warmup:])
+    if len(ts) == 0:
+        return None
+    return 1.0 / float(np.median(ts))
 
 
 def main():
@@ -204,22 +247,34 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    budget = float(os.environ.get("BENCH_BUDGET_S", "420"))
     t0 = time.perf_counter()
+    # the full tracker is the headline number — run it FIRST so a cold
+    # compile cache cannot push it past the wall budget
+    tracker_fps, n_tracked = bench_tracker(np)
+    _stage(f"tracker done {time.perf_counter() - t0:.0f}s")
+    tracker_fps_ref = None
+    if time.perf_counter() - t0 < budget:
+        tracker_fps_ref = bench_tracker_ref_cfg(np)
+        _stage(f"tracker ref-cfg done {time.perf_counter() - t0:.0f}s")
+    else:
+        _stage("tracker ref-cfg SKIPPED (budget)")
     detect_dt, prep_dt, det_mfu = bench_detector(jax, jnp, np)
     _stage(f"detector done {time.perf_counter() - t0:.0f}s")
     ba_dt = bench_demo_ba(jax, jnp, np)
     _stage(f"demo BA done {time.perf_counter() - t0:.0f}s")
     schur_dt, schur_ips, schur_mfu = bench_schur_ba(jax, jnp, np)
     _stage(f"schur BA done {time.perf_counter() - t0:.0f}s")
-    # the tracker stage spans ~10 programs; guard it with a wall budget so
-    # a cold compile cache degrades to a partial report instead of a DNF
-    budget = float(os.environ.get("BENCH_BUDGET_S", "420"))
+    # global-BA scale (the shapes global_ba actually pads to): the sparse
+    # edge-pair assembly replaces the dense (Kf, P) W grid that was ~85 MB
+    # per LM iteration here
+    schur_global_dt = None
     if time.perf_counter() - t0 < budget:
-        tracker_fps, n_tracked = bench_tracker(np)
-        _stage(f"tracker done {time.perf_counter() - t0:.0f}s")
+        schur_global_dt, _, _ = bench_schur_ba(
+            jax, jnp, np, n_kf=96, n_pt=12288, n_edge=8192)
+        _stage(f"schur global done {time.perf_counter() - t0:.0f}s")
     else:
-        tracker_fps, n_tracked = None, None
-        _stage("tracker SKIPPED (budget)")
+        _stage("schur global SKIPPED (budget)")
 
     per_frame = detect_dt + prep_dt + ba_dt
     fps = 1.0 / per_frame
@@ -230,10 +285,14 @@ def main():
         "unit": "frames/s (detect+BA per frame, 1 chip)",
         "vs_baseline": round(fps / baseline_fps, 3),
         "tracker_fps": round(tracker_fps, 2) if tracker_fps else None,
+        "tracker_fps_ref_cfg": (round(tracker_fps_ref, 2)
+                                if tracker_fps_ref else None),
         "tracker_frames_ok": n_tracked,
         "ba_iters_per_sec": round(schur_ips, 1),
         "schur_ba_ms": round(schur_dt * 1e3, 2),
         "schur_ba_mfu_pct": round(schur_mfu * 100, 2),
+        "schur_ba_global_ms": (round(schur_global_dt * 1e3, 2)
+                               if schur_global_dt else None),
         "detector_ms": round(detect_dt * 1e3, 2),
         "detector_prep_ms": round(prep_dt * 1e3, 2),
         "detector_mfu_pct": round(det_mfu * 100, 2),

@@ -126,6 +126,46 @@ def pose_optimization(Tcw0, K, pts_world, uv_meas, sqrt_info, valid,
 # camera + point BA with blocked Schur complement
 # ---------------------------------------------------------------------------
 
+def make_schur_pairs(obs_pt, obs_valid, bucket=True):
+    """Host-side edge-pair list for the SPARSE reduced-camera assembly:
+    all ordered pairs (e1, e2) of valid edges observing the SAME point.
+    S[k1,k2] = sum over pairs of W_e1 Hpp^-1 W_e2^T — the pair list makes
+    that a single batched (Q, 6, 6) matmul + scatter instead of the dense
+    (Kf, P, 6, 3) W grid and its O(Kf^2 P) contraction.
+
+    Returns (pair_e1, pair_e2) int32, zero-padded to a pow2 bucket (with
+    both pointing at edge 0 — masked out on device via obs_valid)."""
+    idx = np.where(np.asarray(obs_valid))[0].astype(np.int32)
+    pts = np.asarray(obs_pt)[idx]
+    order = np.argsort(pts, kind="stable")
+    idx = idx[order]
+    pts = pts[order]
+    e1_list, e2_list = [], []
+    start = 0
+    n = len(idx)
+    for i in range(1, n + 1):
+        if i == n or pts[i] != pts[start]:
+            seg = idx[start:i]
+            if len(seg) >= 1:
+                a, b = np.meshgrid(seg, seg, indexing="ij")
+                e1_list.append(a.reshape(-1))
+                e2_list.append(b.reshape(-1))
+            start = i
+    if e1_list:
+        e1 = np.concatenate(e1_list)
+        e2 = np.concatenate(e2_list)
+    else:
+        e1 = np.zeros(1, dtype=np.int32)
+        e2 = np.zeros(1, dtype=np.int32)
+    if bucket:
+        Q = 1 << int(np.ceil(np.log2(max(len(e1), 64))))
+        pad = Q - len(e1)
+        if pad:
+            e1 = np.concatenate([e1, np.zeros(pad, dtype=np.int32)])
+            e2 = np.concatenate([e2, np.full(pad, -1, dtype=np.int32)])
+    return e1.astype(np.int32), e2.astype(np.int32)
+
+
 @functools.partial(
     jax.jit, static_argnames=("num_iters", "n_kf", "n_pt")
 )
@@ -142,6 +182,9 @@ def local_ba_points(
     pt_valid,      # (P,) bool
     obs_z=None,    # (E,) optional metric depth measurements (0 = none)
     obs_z_si=None, # (E,) sqrt-info of the depth residual (0 disables)
+    pair_e1=None,  # (Q,) int32 edge-pair lists (make_schur_pairs) — when
+    pair_e2=None,  # given, the reduced system assembles SPARSELY (no
+                   # dense (Kf, P) W grid; pairs with e2 < 0 are padding)
     num_iters: int = 5,
     n_kf: int = 0,
     n_pt: int = 0,
@@ -224,22 +267,43 @@ def local_ba_points(
             jnp.einsum("eai,ea->ei", Jp, r), obs_pt, num_segments=P
         )  # (P, 3)
         W_blocks = jnp.einsum("eai,eaj->eij", Jc, Jp)  # (E, 6, 3)
-        # dense (Kf, P) block grid of W
-        W = jax.ops.segment_sum(
-            W_blocks, obs_kf * P + obs_pt, num_segments=Kf * P
-        ).reshape(Kf, P, 6, 3)
 
         # damping + masks
         eye3 = jnp.eye(3)
         Hpp_d = Hpp + (lam + 1e-6) * eye3 + (1.0 - pt_mask)[:, None, None] * eye3
         Hpp_inv = jnp.linalg.inv(Hpp_d) * pt_mask[:, None, None]
 
-        # reduced camera system S = Hcc_diag - W Hpp^-1 W^T (dense over KF)
-        Y = jnp.einsum("kpij,pjl->kpil", W, Hpp_inv)  # (Kf, P, 6, 3)
-        S_off = jnp.einsum("kpil,qpml->kqim", Y, W)  # (Kf, Kf, 6, 6)
+        if pair_e1 is not None:
+            # SPARSE reduced-camera assembly over edge pairs sharing a
+            # point: S_off[k1,k2] = sum_pairs W_e1 Hpp^-1 W_e2^T. Memory is
+            # O(pairs * 36) instead of the O(Kf * P * 18) dense W grid
+            # (~85 MB at global-BA scale), and the contraction is one
+            # batched (Q, 6, 3)@(3, 3)@(3, 6) matmul instead of O(Kf^2 P).
+            pv = pair_e2 >= 0
+            p2 = jnp.clip(pair_e2, 0, None)
+            Hinv_pair = Hpp_inv[obs_pt[pair_e1]]            # (Q, 3, 3)
+            contrib = (W_blocks[pair_e1] @ Hinv_pair
+                       @ jnp.swapaxes(W_blocks[p2], -1, -2))  # (Q, 6, 6)
+            contrib = contrib * pv[:, None, None]
+            seg = obs_kf[pair_e1] * Kf + obs_kf[p2]
+            S_off = jax.ops.segment_sum(
+                contrib, seg, num_segments=Kf * Kf).reshape(Kf, Kf, 6, 6)
+            # rhs: per-edge y = W_e (Hpp^-1 bp)_pt, reduced over cameras
+            ypt = jnp.einsum("pij,pj->pi", Hpp_inv, bp)     # (P, 3)
+            z_e = jnp.einsum("eij,ej->ei", W_blocks, ypt[obs_pt])
+            Wy = jax.ops.segment_sum(z_e, obs_kf, num_segments=Kf)
+            rhs = -(bc - Wy)
+        else:
+            # dense (Kf, P) block grid of W (small problems)
+            W = jax.ops.segment_sum(
+                W_blocks, obs_kf * P + obs_pt, num_segments=Kf * P
+            ).reshape(Kf, P, 6, 3)
+            Y = jnp.einsum("kpij,pjl->kpil", W, Hpp_inv)  # (Kf, P, 6, 3)
+            S_off = jnp.einsum("kpil,qpml->kqim", Y, W)  # (Kf, Kf, 6, 6)
+            rhs = -(bc - jnp.einsum("kpil,pl->ki", Y, bp))  # (Kf, 6)
+
         S = -S_off
         S = S.at[jnp.arange(Kf), jnp.arange(Kf)].add(Hcc + lam * jnp.eye(6))
-        rhs = -(bc - jnp.einsum("kpil,pl->ki", Y, bp))  # (Kf, 6)
 
         # flatten, freeze fixed cameras
         cm = jnp.repeat(cam_mask, 6)
@@ -251,7 +315,8 @@ def local_ba_points(
         dc_b = dc.reshape(Kf, 6)
 
         # back-substitute points: dp = Hpp^-1 (-bp - W^T dc)
-        WT_dc = jnp.einsum("kpij,ki->pj", W, dc_b)  # (P, 3)
+        wtd_e = jnp.einsum("eij,ei->ej", W_blocks, dc_b[obs_kf])
+        WT_dc = jax.ops.segment_sum(wtd_e, obs_pt, num_segments=P)  # (P, 3)
         dp = jnp.einsum("pij,pj->pi", Hpp_inv, -bp - WT_dc) * pt_mask[:, None]
 
         new_tcw = geo.se3_exp(dc_b) @ kf_tcw

@@ -30,7 +30,7 @@ from .ba import HUBER_MONO, _project, huber_weight
 from .lm import lm_optimize
 
 
-@functools.partial(jax.jit, static_argnames=("num_iters",))
+@functools.partial(jax.jit, static_argnames=("num_iters", "fix_rotation"))
 def dynamic_object_ba(
     kf_tcw,          # (Kf, 4, 4)
     kf_stamps,       # (Kf,) timestamps (for motion-model dt)
@@ -58,6 +58,7 @@ def dynamic_object_ba(
     num_iters: int = 12,
     motion_weight: float = 1.0,
     inbox_weight: float = 1.0,
+    fix_rotation: bool = False,
 ):
     """Returns (kf_tcw, obj_pose_kf, velocity, local_pts, chi2)."""
     Kf = kf_tcw.shape[0]
@@ -140,7 +141,14 @@ def dynamic_object_ba(
         return jnp.concatenate(parts)
 
     cam_mask = jnp.repeat(~kf_fixed, 6)
-    obj_mask = jnp.repeat((obj_valid[:, None] & obj_kf_valid).reshape(-1), 6)
+    # fix-rotation mode (the reference's dynamic config): per-KF cuboid
+    # vertices optimize TRANSLATION ONLY — rotation stays at the measured
+    # yaw (`whether_fixrotation = true`, Optimizer.cc:1778; heading errors
+    # would couple into the bicycle motion model)
+    comp = (jnp.array([False, False, False, True, True, True])
+            if fix_rotation else jnp.ones(6, dtype=bool))
+    obj_mask = ((obj_valid[:, None] & obj_kf_valid).reshape(-1)[:, None]
+                & comp[None, :]).reshape(-1)
     vel_mask = jnp.repeat(obj_valid, 2)
     pts_mask = jnp.repeat(pt_valid, 3)
     param_mask = jnp.concatenate([cam_mask, obj_mask, vel_mask, pts_mask])

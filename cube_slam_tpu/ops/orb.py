@@ -224,7 +224,10 @@ def brief_descriptors(img_blurred, xy, angle, valid):
 
 class OrbPyramidConfig:
     """Mirror of the ORB settings block (Examples/Monocular/*.yaml:
-    nFeatures, scaleFactor 1.2, nLevels 8, iniThFAST 20, minThFAST 7)."""
+    nFeatures, scaleFactor 1.2, nLevels 8, iniThFAST 20, minThFAST 7).
+
+    Hashable/eq by value so it can be a STATIC argument of jitted programs
+    (the fused whole-pyramid extraction specializes on it)."""
 
     def __init__(self, n_features=1000, scale_factor=1.2, n_levels=8,
                  ini_th=20.0, min_th=7.0):
@@ -245,6 +248,17 @@ class OrbPyramidConfig:
             n_desired *= factor
         self.per_level.append(max(n_features - acc, 0))
         self.scales = [scale_factor**i for i in range(n_levels)]
+
+    def _key(self):
+        return (self.n_features, self.scale_factor, self.n_levels,
+                self.ini_th, self.min_th)
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def __eq__(self, other):
+        return (isinstance(other, OrbPyramidConfig)
+                and self._key() == other._key())
 
 
 @functools.partial(
@@ -267,12 +281,65 @@ def _level_kernel(gray, out_h, out_w, quota, ini_th, min_th):
 
 
 @jax.jit
-def pack_features(xy, level, angle, valid):
-    """Pack the float-convertible feature fields into ONE (N, 5) array so
-    the host needs a single download instead of four round trips."""
-    return jnp.concatenate(
-        [xy, level[:, None].astype(jnp.float32), angle[:, None],
-         valid[:, None].astype(jnp.float32)], axis=1)
+def pack_features(xy, level, angle, valid, desc=None):
+    """Pack the feature fields into ONE array so the host needs a single
+    download instead of four/five round trips. With `desc`, its raw bits
+    ride as extra f32 columns -> (N, 13); without, (N, 5)."""
+    cols = [xy, level[:, None].astype(jnp.float32), angle[:, None],
+            valid[:, None].astype(jnp.float32)]
+    if desc is not None:
+        cols.append(lax.bitcast_convert_type(desc, jnp.float32))
+    return jnp.concatenate(cols, axis=1)
+
+
+def _extract_body(gray, cfg: OrbPyramidConfig):
+    """Trace-time body of the whole-pyramid extraction (all levels)."""
+    gray = jnp.asarray(gray, dtype=jnp.float32)
+    H0, W0 = gray.shape
+    out_xy, out_lvl, out_ang, out_sc, out_desc, out_valid = [], [], [], [], [], []
+    for lvl in range(cfg.n_levels):
+        h = int(round(H0 / cfg.scales[lvl]))
+        w = int(round(W0 / cfg.scales[lvl]))
+        quota = cfg.per_level[lvl]
+        if (h, w) != gray.shape:
+            level_img = jax.image.resize(gray, (h, w), method="linear")
+        else:
+            level_img = gray
+        xy, score, valid = detect_level(
+            level_img, max_kp=quota, ini_threshold=cfg.ini_th,
+            min_threshold=cfg.min_th)
+        ang = ic_angle(level_img, xy, valid)
+        blurred = im_ops.gaussian_blur(level_img, sigma=2.0, radius=3)
+        desc = brief_descriptors(blurred, xy, ang, valid)
+        out_xy.append(xy * cfg.scales[lvl])
+        out_lvl.append(jnp.full((quota,), lvl, dtype=jnp.int32))
+        out_ang.append(ang)
+        out_sc.append(score)
+        out_desc.append(desc)
+        out_valid.append(valid)
+    return {
+        "xy": jnp.concatenate(out_xy),
+        "level": jnp.concatenate(out_lvl),
+        "angle": jnp.concatenate(out_ang),
+        "score": jnp.concatenate(out_sc),
+        "desc": jnp.concatenate(out_desc),
+        "valid": jnp.concatenate(out_valid),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def extract_orb_fused(gray, cfg: OrbPyramidConfig):
+    """Whole-pyramid ORB extraction as ONE device program.
+
+    Unlike extract_orb (one dispatch per level + concat dispatches), this is
+    a single XLA program: on a tunneled TPU every extra dispatch risks a
+    host round trip, and the per-frame tracker budget is ~4 round trips
+    total. Returns the same dict as extract_orb plus "packed" (the (N, 5)
+    xy/level/angle/valid pack for a single host download)."""
+    out = _extract_body(gray, cfg)
+    out["packed"] = pack_features(
+        out["xy"], out["level"], out["angle"], out["valid"], out["desc"])
+    return out
 
 
 def extract_orb(gray, cfg: OrbPyramidConfig):

@@ -197,13 +197,16 @@ def track_dynamic_object(
 @dataclass
 class DynamicDetection:
     """One per-frame dynamic-object measurement (offline cuboid txt row or
-    live detector output, Tracking.cc:1553-1580)."""
+    live detector output, Tracking.cc:1553-1580). mask is optional: the
+    reference's SHIPPED dynamic config runs without KLT features
+    (use_dynamic_klt_features=false, mono_dynamic.launch:32) — bbox +
+    cuboid measurement alone drive the pipeline then."""
 
     tracklet_id: int
     local_pose: np.ndarray   # (4, 4) object in CAMERA frame
     scale: np.ndarray        # (3,) half-scale (e.g. KITTI car prior)
     bbox: np.ndarray         # (4,) [x y w h]
-    mask: np.ndarray         # (H, W) bool instance mask
+    mask: np.ndarray = None  # (H, W) bool instance mask (None = no KLT)
 
 
 class _DynChain:
@@ -265,7 +268,28 @@ class DynamicObjectManager:
     def __init__(self, max_pts=64, min_alive=12, window_kfs=6,
                  klt_max_err=45.0, motion_weight=1.5, ba_iters=15,
                  max_dp_edges=1024, min_triangulation_baseline=0.25,
-                 fb_max_err=1.0):
+                 fb_max_err=1.0, fix_rotation=True,
+                 ba_pt_obj_cam=False, ba_obj_velo=True, ba_obj_cam=True,
+                 world_T_slam=None):
+        # edge-family gates + DOF policy, defaulted to the reference's
+        # SHIPPED dynamic configuration (launch/mono_dynamic.launch:37-39 +
+        # Optimizer.cc:1778): per-KF cuboid vertices optimize translation
+        # only (whether_fixrotation), dynamic-point reprojection edges are
+        # OFF (ba_dyna_pt_obj_cam=false — KLT chains still triangulate and
+        # associate, but do not shape the poses), velocity/motion edges and
+        # camera-object bbox edges are ON
+        self.fix_rotation = fix_rotation
+        self.ba_pt_obj_cam = ba_pt_obj_cam
+        self.ba_obj_velo = ba_obj_velo
+        self.ba_obj_cam = ba_obj_cam
+        # rigid alignment SLAM-world -> z-up GROUND frame (p_g = G p_w).
+        # The planar motion model needs a gravity-aligned frame; in mono
+        # KITTI the SLAM world is the first CAMERA frame and G is the
+        # InitToGround transform (Tracking.cc:110-143). Object poses are
+        # kept in the ground frame; cameras are re-aligned on the fly.
+        self.G = (np.eye(4) if world_T_slam is None
+                  else np.asarray(world_T_slam, dtype=np.float64))
+        self.G_inv = np_geo.inv_T(self.G)
         self.chains: dict[int, _DynChain] = {}
         self.max_pts = max_pts
         self.min_alive = min_alive
@@ -278,6 +302,11 @@ class DynamicObjectManager:
         self.fb_max_err = fb_max_err
         self._prev_gray = None
         self._prev_dets = {}
+
+    def _cam_tcw(self, m, k):
+        """Camera pose re-expressed over the GROUND world: Tcw_g =
+        Tcw_slam @ G^-1."""
+        return m.kf_tcw[k].astype(np.float64) @ self.G_inv
 
     def pose_tracks(self):
         """Per-object pose history for the viewer: list of (poses, scale)
@@ -337,7 +366,7 @@ class DynamicObjectManager:
                 )
                 fb = np.linalg.norm(np.array(back) - ch.xy, axis=1)
                 status &= np.array(bstat) & (fb < self.fb_max_err)
-                if det is not None:
+                if det is not None and det.mask is not None:
                     xi = np.clip(pts1[:, 0].astype(int), 0, det.mask.shape[1] - 1)
                     yi = np.clip(pts1[:, 1].astype(int), 0, det.mask.shape[0] - 1)
                     status &= det.mask[yi, xi]
@@ -349,6 +378,8 @@ class DynamicObjectManager:
         # still contribute BA edges through their past KF snapshots)
         for tid, det in det_of.items():
             ch = self.chains[tid]
+            if det.mask is None:  # no-KLT mode (use_dynamic_klt_features=false)
+                continue
             if ch.alive.sum() >= self.min_alive:
                 continue
             # only recycle slots WITHOUT object coordinates: localized slots
@@ -382,13 +413,24 @@ class DynamicObjectManager:
         points (motion-compensated). dets: list[DynamicDetection]."""
         m = map_state
         det_of = {d.tracklet_id: d for d in (dets or [])}
+        # spawn chains for unseen tracklets here too: in the no-KLT
+        # configuration (mask-less detections) advance() never runs
+        for tid, det in det_of.items():
+            if tid not in self.chains:
+                self.chains[tid] = _DynChain(tid, det.scale, self.max_pts)
         self._purge_stale(m)
-        Twc = np_geo.inv_T(m.kf_tcw[kf_id].astype(np.float64))
+        Twc = np_geo.inv_T(self._cam_tcw(m, kf_id))
         for tid, ch in self.chains.items():
             det = det_of.get(tid)
             if det is not None:
                 pose_w = (Twc @ det.local_pose.astype(np.float64)).astype(np.float32)
-            elif ch.kf_pose:
+            elif ch.kf_pose and ch.alive.any():
+                # velocity propagation is only an INITIALIZATION — a per-KF
+                # pose vertex with neither a detection nor live tracked
+                # points would be constrained solely by the motion edge,
+                # feeding the current velocity estimate back into itself
+                # (the reference creates vertices only for observed KFs,
+                # Optimizer.cc:1726-1786)
                 # velocity propagation with the planar model used by
                 # EdgeObjectMotion: heading = world-frame yaw
                 last_kf = max(ch.kf_pose)
@@ -429,7 +471,7 @@ class DynamicObjectManager:
         pending = ch.alive & ~ch.has_local & (ch.spawn_kf == kf_id)
         if not pending.any() or kf_id not in ch.kf_pose:
             return
-        Tcw = m.kf_tcw[kf_id].astype(np.float64)
+        Tcw = self._cam_tcw(m, kf_id)
         P_obj = ch.kf_pose[kf_id].astype(np.float64)
         center_cam = Tcw[:3, :3] @ P_obj[:3, 3] + Tcw[:3, 3]
         z = float(center_cam[2])
@@ -489,8 +531,8 @@ class DynamicObjectManager:
             Pa = ch.kf_pose[a].astype(np.float64)
             Pb = ch.kf_pose[kf_id].astype(np.float64)
             comp = Pa @ np_geo.inv_T(Pb)  # undo the object's motion
-            Tcw_a = m.kf_tcw[a].astype(np.float64)
-            Tcw_b_comp = m.kf_tcw[kf_id].astype(np.float64) @ np_geo.inv_T(comp)
+            Tcw_a = self._cam_tcw(m, a)
+            Tcw_b_comp = self._cam_tcw(m, kf_id) @ np_geo.inv_T(comp)
             # short compensated baselines give depth errors amplified by
             # (depth/baseline) x pose-measurement noise — wait for a wider
             # pair instead of committing garbage coordinates
@@ -531,13 +573,13 @@ class DynamicObjectManager:
 
         tids = [tid for tid, ch in self.chains.items()
                 if sum(1 for k in ch.kf_pose if k in kf_local) >= 2
-                and ch.has_local.sum() >= 6]
+                and (not self.ba_pt_obj_cam or ch.has_local.sum() >= 6)]
         if not tids:
             return None
         O = len(tids)
         Qp = self.max_pts  # per-object point block
 
-        kf_tcw = np.stack([m.kf_tcw[k] for k in window])
+        kf_tcw = np.stack([self._cam_tcw(m, k) for k in window]).astype(np.float32)
         # one stamp per window KF: any chain's recorded stamp, else the
         # frame id (NEVER the window index — that would corrupt motion dt)
         merged_stamps = {}
@@ -581,11 +623,20 @@ class DynamicObjectManager:
                     bo_obj.append(oi)
                     bo_meas.append(ch.kf_bbox[k])
             obs_kfs.sort()
-            for a, b in zip(obs_kfs[:-1], obs_kfs[1:]):
-                mo_obj.append(oi)
-                mo_k0.append(a)
-                mo_k1.append(b)
-        if len(dp_kf) < 10:
+            if self.ba_obj_velo:
+                for a, b in zip(obs_kfs[:-1], obs_kfs[1:]):
+                    mo_obj.append(oi)
+                    mo_k0.append(a)
+                    mo_k1.append(b)
+        if not self.ba_pt_obj_cam:
+            # reference shipped config (mono_dynamic.launch:37): KLT point
+            # reprojections do not shape the poses — freeze the points and
+            # mask their edges; poses come from bbox + motion edges
+            dp_kf, dp_obj, dp_pt, dp_uv = [], [], [], []
+            pt_valid[:] = False
+            if not (bo_kf or mo_obj):
+                return None
+        elif len(dp_kf) < 10:
             return None
 
         # pad edge arrays to fixed sizes (stable jit shapes across calls)
@@ -619,6 +670,8 @@ class DynamicObjectManager:
         kf_fixed[0] = True  # gauge: oldest window camera
 
         extra = {}
+        if not self.ba_obj_cam:
+            bo_kf = []
         if bo_kf:
             B_CAP = self.window_kfs * 16
             bo_kf_a, nB = pad(bo_kf, B_CAP, np.int32)
@@ -635,6 +688,10 @@ class DynamicObjectManager:
         static_edges = static_edges_fn(window) if static_edges_fn else None
         if static_edges is not None:
             sp_kf, sp_pts, sp_uv, sp_si, sp_valid = static_edges
+            # static anchor points live in the SLAM world; the BA runs over
+            # the ground world
+            sp_pts = (sp_pts.astype(np.float64) @ self.G[:3, :3].T
+                      + self.G[:3, 3]).astype(np.float32)
             extra.update(
                 sp_kf=jnp.asarray(sp_kf), sp_pts=jnp.asarray(sp_pts),
                 sp_uv=jnp.asarray(sp_uv), sp_si=jnp.asarray(sp_si),
@@ -659,6 +716,7 @@ class DynamicObjectManager:
                 jnp.asarray(pt_valid),
                 num_iters=iters,
                 motion_weight=self.motion_weight,
+                fix_rotation=self.fix_rotation,
                 **extra,
             )
 
@@ -676,13 +734,18 @@ class DynamicObjectManager:
         # two-stage schedule with chi2 pruning between stages: KLT chains
         # carry systematic outliers (drift, occlusion-boundary locks) that
         # would otherwise drag the per-KF poses (the reference's dynamic BA
-        # prunes edges the same way its static one does)
-        out1 = solve(kf_tcw, obj_pose_kf, velocity, local_pts, dp_valid, 5)
-        kf1, obj1, vel1, pts1 = (np.array(x) for x in out1[:4])
-        keep = dp_valid & (dp_chi2(kf1, obj1, pts1) <= 5.991)
-        if keep.sum() < 10:
-            return None
-        out = solve(kf1, obj1, vel1, pts1, keep, self.ba_iters)
+        # prunes edges the same way its static one does). With point edges
+        # gated off there is nothing to prune — single solve.
+        if not self.ba_pt_obj_cam:
+            out = solve(kf_tcw, obj_pose_kf, velocity, local_pts,
+                        dp_valid, self.ba_iters)
+        else:
+            out1 = solve(kf_tcw, obj_pose_kf, velocity, local_pts, dp_valid, 5)
+            kf1, obj1, vel1, pts1 = (np.array(x) for x in out1[:4])
+            keep = dp_valid & (dp_chi2(kf1, obj1, pts1) <= 5.991)
+            if keep.sum() < 10:
+                return None
+            out = solve(kf1, obj1, vel1, pts1, keep, self.ba_iters)
         kf_out, obj_out, vel_out, pts_out = (np.array(x) for x in out[:4])
 
         # write back: cameras, per-KF object poses, velocity (+history),
@@ -690,7 +753,8 @@ class DynamicObjectManager:
         # Optimizer.cc:2440-2573)
         for k, i in kf_local.items():
             if not kf_fixed[i]:
-                m.kf_tcw[k] = kf_out[i]
+                m.kf_tcw[k] = (kf_out[i].astype(np.float64) @ self.G
+                               ).astype(np.float32)
         for oi, tid in enumerate(tids):
             ch = self.chains[tid]
             for k, i in kf_local.items():
@@ -749,6 +813,18 @@ class DynamicRgbdTracker:
                     feats.dev["valid"] = jnp.asarray(feats.valid)
                 return feats
 
+            def _suppress_dev(self, gray):
+                # fast-path analog of the _extract masking: ship the union
+                # instance mask so the fused per-frame program drops
+                # dynamic-region keypoints on device (KeysStatic,
+                # Frame.cc:221-264)
+                if not outer._pending_dyn:
+                    return super()._suppress_dev(gray)
+                mask = np.zeros(np.asarray(gray).shape, dtype=np.float32)
+                for d in outer._pending_dyn:
+                    mask[d.mask] = 1.0
+                return jnp.asarray(mask), True
+
             def _create_keyframe(self, feats):
                 super()._create_keyframe(feats)
                 k = self.ref_kf
@@ -773,33 +849,39 @@ class DynamicRgbdTracker:
         return self._impl.track(gray, depth)
 
     def _static_anchor_edges(self, impl, window):
-        """Up to static_anchor_cap reprojection edges (fixed static points)
-        over the window keyframes, to anchor the freed cameras."""
-        m = impl.map
-        S = self.static_anchor_cap
-        sp_kf = np.zeros(S, dtype=np.int32)
-        sp_pts = np.zeros((S, 3), dtype=np.float32)
-        sp_uv = np.zeros((S, 2), dtype=np.float32)
-        sp_si = np.ones(S, dtype=np.float32)
-        sp_valid = np.zeros(S, dtype=bool)
-        n = 0
-        per_kf = max(1, S // max(len(window), 1))
-        from . import tracking as trk_mod
-        for i, k in enumerate(window):
-            mp = m.kf_kp_mp[k]
-            kps = np.where((mp >= 0) & m.kf_kp_valid[k])[0][:per_kf]
-            for kp in kps:
-                if n >= S:
-                    break
-                pid = mp[kp]
-                if not m.mp_valid[pid]:
-                    continue
-                sp_kf[n] = i
-                sp_pts[n] = m.mp_pos[pid]
-                sp_uv[n] = m.kf_kp_xy[k, kp]
-                sp_si[n] = 1.0 / (trk_mod.SCALE_FACTOR ** m.kf_kp_level[k, kp])
-                sp_valid[n] = True
-                n += 1
-        if n < 10:
-            return None
-        return sp_kf, sp_pts, sp_uv, sp_si, sp_valid
+        return static_anchor_edges(impl.map, window, self.static_anchor_cap)
+
+
+def static_anchor_edges(m, window, cap=1024):
+    """Up to `cap` reprojection edges against FIXED static map points over
+    the window keyframes — anchors the cameras freed by the dynamic BA
+    (the reference includes the full static point family,
+    Optimizer.cc:1537-; constants here, see graph/dynamic_ba sp_* docs)."""
+    from . import tracking as trk_mod
+
+    S = cap
+    sp_kf = np.zeros(S, dtype=np.int32)
+    sp_pts = np.zeros((S, 3), dtype=np.float32)
+    sp_uv = np.zeros((S, 2), dtype=np.float32)
+    sp_si = np.ones(S, dtype=np.float32)
+    sp_valid = np.zeros(S, dtype=bool)
+    n = 0
+    per_kf = max(1, S // max(len(window), 1))
+    for i, k in enumerate(window):
+        mp = m.kf_kp_mp[k]
+        kps = np.where((mp >= 0) & m.kf_kp_valid[k])[0][:per_kf]
+        for kp in kps:
+            if n >= S:
+                break
+            pid = mp[kp]
+            if not m.mp_valid[pid]:
+                continue
+            sp_kf[n] = i
+            sp_pts[n] = m.mp_pos[pid]
+            sp_uv[n] = m.kf_kp_xy[k, kp]
+            sp_si[n] = 1.0 / (trk_mod.SCALE_FACTOR ** m.kf_kp_level[k, kp])
+            sp_valid[n] = True
+            n += 1
+    if n < 10:
+        return None
+    return sp_kf, sp_pts, sp_uv, sp_si, sp_valid

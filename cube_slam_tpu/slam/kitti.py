@@ -62,7 +62,17 @@ class KittiMonoTracker(ObjectSlamTracker):
                  ground_cfg: GroundConfig | None = None,
                  camera_object_weight=1.0,
                  cam_ground_normal=(0.0, -1.0, 0.0),
-                 firstframe_depth_init=False):
+                 firstframe_depth_init=False,
+                 dynamic=False, dyn_manager=None, frame_stamps=None,
+                 first_depth=None):
+        """dynamic=True runs the reference's mono_dynamic configuration:
+        every tracklet becomes a MOVING object with per-keyframe poses, a
+        planar-bicycle velocity, and motion + bbox edges in a joint dynamic
+        BA with the window cameras free (Tracking.cc:2144-2425 +
+        Optimizer.cc:1537-2573, launch/mono_dynamic.launch flag set:
+        ba_dyna_pt_obj_cam=false, use_dynamic_klt_features=false).
+        Static-landmark association is skipped for those tracklets; the
+        object-depth scale anchor and ground-scale recovery still run."""
         MonocularTracker.__init__(self, K, img_wh, config)
         self.objects = ObjectManager(detector=None,
                                      fixed_scale_prior=car_prior)
@@ -70,6 +80,7 @@ class KittiMonoTracker(ObjectSlamTracker):
         self.init_to_ground = np.asarray(init_to_ground, dtype=np.float64)
         self.use_truth_trackid = use_truth_trackid
         self.camera_object_weight = camera_object_weight
+        self.car_prior = np.asarray(car_prior, dtype=np.float32)
         self.ground = GroundScaleEstimator(ground_cfg)
         self.cam_ground_normal = cam_ground_normal
         self.ground_align = None
@@ -77,6 +88,19 @@ class KittiMonoTracker(ObjectSlamTracker):
         self.n_scale_recoveries = 0
         self.firstframe_depth_init = firstframe_depth_init
         self._anchor_scales = []  # applied object-depth scale corrections
+        self.frame_stamps = frame_stamps  # per-frame times (None = frame id)
+        # mono_firstframe_truth_depth_init (mono_dynamic.launch:42): a
+        # metric depth image for the FIRST frame bootstraps the map at
+        # true scale (the dynamic config disables ground-height scale)
+        self.first_depth = first_depth
+        self.dynamic = None
+        if dynamic:
+            from .dynamic import DynamicObjectManager
+
+            # SLAM world = first camera frame; the motion model runs over
+            # the z-up ground frame via the InitToGround alignment
+            self.dynamic = dyn_manager or DynamicObjectManager(
+                world_T_slam=self.init_to_ground)
 
     # ------------------------------------------------------------------
     def track(self, gray):
@@ -91,6 +115,8 @@ class KittiMonoTracker(ObjectSlamTracker):
         ObjectSlamTracker.reset(self)
         self.ground = GroundScaleEstimator(self.ground.cfg)
         self._anchor_scales = []
+        if self.dynamic is not None:
+            self.dynamic.chains = {}
 
     def _rows_for(self, frame_id):
         if self.offline is not None and 0 <= frame_id < len(self.offline):
@@ -98,6 +124,50 @@ class KittiMonoTracker(ObjectSlamTracker):
             if rows is not None and np.size(rows):
                 return np.atleast_2d(rows)
         return None
+
+    def _dyn_dets_for(self, frame_id):
+        """Offline rows -> DynamicDetections (camera-frame cuboid pose +
+        bbox, no instance mask — use_dynamic_klt_features=false)."""
+        from .dynamic import DynamicDetection
+
+        rows = self._rows_for(frame_id)
+        if rows is None:
+            return []
+        Tgc = np_geo.inv_T(self.init_to_ground)
+        dets = []
+        for r in rows:
+            tid = int(r[12]) if len(r) > 12 else -1
+            if tid < 0:
+                continue
+            pose_g, _scale = np_geo.minimal9_to_pose_scale(
+                [r[0], r[1], r[2], 0.0, 0.0, r[3], r[4], r[5], r[6]])
+            local_pose = (Tgc @ pose_g).astype(np.float32)
+            if float(local_pose[2, 3]) <= 0.5:
+                continue
+            dets.append(DynamicDetection(
+                tracklet_id=tid, local_pose=local_pose,
+                scale=self.car_prior,
+                bbox=np.asarray(r[7:11], dtype=np.float32), mask=None))
+        return dets
+
+    def _suppress_dev(self, gray):
+        """Dynamic mode: drop keypoints inside moving-car boxes from the
+        static pipeline (KeysStatic via bbox rectangles — no masks in the
+        offline-txt configuration)."""
+        if self.dynamic is None:
+            return MonocularTracker._suppress_dev(self, gray)
+        rows = self._rows_for(self.frame_id)
+        if rows is None:
+            return MonocularTracker._suppress_dev(self, gray)
+        g = np.asarray(gray)
+        mask = np.zeros(g.shape, dtype=np.float32)
+        H, W = g.shape
+        for r in rows:
+            x, y, w, h = (int(max(r[7], 0)), int(max(r[8], 0)),
+                          int(r[9]), int(r[10]))
+            mask[y:min(y + h, H), x:min(x + w, W)] = 1.0
+        import jax.numpy as jnp
+        return jnp.asarray(mask), True
 
     # ------------------------------------------------------------------
     def _try_initialize(self, feats):
@@ -111,6 +181,36 @@ class KittiMonoTracker(ObjectSlamTracker):
         small and near-coplanar, which makes frame-to-frame tracking
         fragile (the reference gates it on N > 500 features); the two-view
         init + per-keyframe object-depth anchor is the robust path."""
+        if self.dynamic is not None:
+            # moving-object pixels must not seed STATIC map points — the
+            # init path bypasses the fast-path suppression hook
+            rows_d = self._rows_for(self.frame_id)
+            if rows_d is not None:
+                v = feats.valid.copy()
+                for r in rows_d:
+                    x, y, w, h = r[7:11]
+                    v &= ~((feats.xy[:, 0] >= x) & (feats.xy[:, 0] <= x + w)
+                           & (feats.xy[:, 1] >= y) & (feats.xy[:, 1] <= y + h))
+                feats.valid = v
+                if feats.dev is not None:
+                    import jax.numpy as jnp
+                    feats.dev["valid"] = jnp.asarray(v)
+        if self.first_depth is not None:
+            # truth-depth bootstrap (mono_firstframe_truth_depth_init,
+            # Tracking.cc StereoInitialization-style): metric from frame 0
+            d_img = np.asarray(self.first_depth, dtype=np.float32)
+            H, W = d_img.shape
+            xi = np.clip(np.round(feats.xy[:, 0]).astype(int), 0, W - 1)
+            yi = np.clip(np.round(feats.xy[:, 1]).astype(int), 0, H - 1)
+            d = d_img[yi, xi]
+            d = np.where(feats.valid & (d > 0.1) & (d < 120.0), d,
+                         0.0).astype(np.float32)
+            if (d > 0).sum() >= 30 and self._depth_seed_initialize(feats, d):
+                self.mono_scale_initialized = True
+                self.first_depth = None
+                logger.info("mono map bootstrapped from first-frame depth "
+                            "(%d points)", int((d > 0).sum()))
+                return True
         rows = self._rows_for(self.frame_id)
         if self.firstframe_depth_init and rows is not None:
             d = np.zeros(len(feats.valid), dtype=np.float32)
@@ -174,6 +274,10 @@ class KittiMonoTracker(ObjectSlamTracker):
         camera depth against its metric ray-cuboid depth and rescale the
         map by the median ratio. Re-applied per keyframe — once the scale
         is metric the ratio is ~1 and the correction is a no-op."""
+        if self.dynamic is not None:
+            # moving objects cannot anchor a static depth ratio
+            # (mono_allframe_Obj_depth_init=false, mono_dynamic.launch:44)
+            return
         rows = self._rows_for(self.frame_id)
         if rows is None:
             return
@@ -230,18 +334,40 @@ class KittiMonoTracker(ObjectSlamTracker):
             # would fight the reprojection edges and corrupt the in-box
             # points the anchor needs — defer the object pipeline
             return
-        rows = self._rows_for(self.frame_id)
-        dets = self.objects.ingest_offline(
-            self.map, k, rows, self.init_to_ground,
-            use_truth_trackid=self.use_truth_trackid)
-        if self.use_truth_trackid:
-            self.objects.associate_by_tracklet(self.map, k, dets)
-        else:
-            self.objects.associate(self.map, k, dets)
-        self.objects.cull(self.map)
-        if self.objects.store.valid.any():
-            self._object_ba(k)
+        if self.dynamic is not None:
+            # mono_dynamic configuration: tracklets are MOVING objects with
+            # per-KF poses + velocity; no static-landmark association
+            from .dynamic import static_anchor_edges
 
+            dets = self._dyn_dets_for(self.frame_id)
+            stamp = (float(self.frame_stamps[self.frame_id])
+                     if self.frame_stamps is not None
+                     and self.frame_id < len(self.frame_stamps)
+                     else float(self.frame_id))
+            self.dynamic.on_keyframe(self.map, k, dets, stamp=stamp,
+                                     K=self.K, img_wh=self.img_wh)
+            self.dynamic.run_dynamic_ba(
+                self.map, self.K,
+                static_edges_fn=lambda w: static_anchor_edges(self.map, w))
+        else:
+            rows = self._rows_for(self.frame_id)
+            dets = self.objects.ingest_offline(
+                self.map, k, rows, self.init_to_ground,
+                use_truth_trackid=self.use_truth_trackid)
+            if self.use_truth_trackid:
+                self.objects.associate_by_tracklet(self.map, k, dets)
+            else:
+                self.objects.associate(self.map, k, dets)
+            self.objects.cull(self.map)
+            if self.objects.store.valid.any():
+                self._object_ba(k)
+
+        if self.dynamic is not None:
+            # mono_dynamic disables ground-height scale recovery
+            # (enable_ground_height_scale=false, mono_dynamic.launch:47) —
+            # a mid-run rescale would de-calibrate the metric per-KF object
+            # poses already committed to the chains
+            return
         # ground-scale recovery cadence (Tracking.cc:2433-2663)
         s = self.ground.try_recover(self.map, k, self.img_wh,
                                     cam_ground_normal=self.cam_ground_normal,
@@ -257,9 +383,11 @@ class KittiMonoTracker(ObjectSlamTracker):
 
 def run_kitti_sequence(seq, init_to_ground, config=None, max_frames=None,
                        use_truth_trackid=True, output_prefix=None,
-                       ground_cfg=None):
+                       ground_cfg=None, dynamic=False):
     """Drive a KittiSequence end-to-end and optionally dump trajectories +
-    optimized cuboids (the mono_kitti.cc main loop + SaveTrajectory*)."""
+    optimized cuboids (the mono_kitti.cc main loop + SaveTrajectory*).
+    dynamic=True enables the mono_dynamic.launch configuration (moving
+    cars with per-KF poses + velocity)."""
     from ..utils import serialization as ser
 
     n = seq.num_frames if max_frames is None else min(seq.num_frames, max_frames)
@@ -268,7 +396,8 @@ def run_kitti_sequence(seq, init_to_ground, config=None, max_frames=None,
     img_wh = (first.shape[1], first.shape[0])
     tracker = KittiMonoTracker(
         seq.K, img_wh, offline, init_to_ground, config=config,
-        use_truth_trackid=use_truth_trackid, ground_cfg=ground_cfg)
+        use_truth_trackid=use_truth_trackid, ground_cfg=ground_cfg,
+        dynamic=dynamic, frame_stamps=seq.times)
     tracker.track(first)
     for i in range(1, n):
         tracker.track(seq.gray(i))

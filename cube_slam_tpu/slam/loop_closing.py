@@ -107,19 +107,48 @@ class LoopDetector:
         cands.sort(reverse=True)
         return [i for _, i in cands]
 
-    def detect_relocalization(self, signature, max_candidates=3):
-        """DetectRelocalizationCandidates (KeyFrameDatabase.cc:197-260):
-        rank the stored keyframes by signature similarity to a LOST
-        FRAME's signature — no covisibility exclusion (we want the closest
-        stored place, wherever it is). Returns kf ids, best first."""
+    def detect_relocalization(self, signature, max_candidates=3,
+                              covis_groups=None):
+        """DetectRelocalizationCandidates (KeyFrameDatabase.cc:196-260):
+        rank stored keyframes by signature similarity to a LOST frame's
+        signature — no covisibility exclusion (we want the closest stored
+        place, wherever it is).
+
+        With `covis_groups` (kf_id -> covisible kf ids), scores accumulate
+        over each keyframe's covisibility group and the BEST MEMBER of each
+        leading group is returned (the reference's accumulated-score
+        ranking, :219-249 + the 0.75*best gate :251) — on maps with
+        repeated structure a single aliased keyframe can out-score the true
+        place, but its group cannot."""
         if not self.signatures:
             return []
         ids = sorted(self.signatures)
         db = np.stack([self.signatures[i] for i in ids])
         sims = signature_similarity(signature, db)
-        order = np.argsort(-sims)
-        return [int(ids[int(k)]) for k in order[:max_candidates]
-                if sims[int(k)] > self.abs_floor]
+        sim_of = dict(zip(ids, sims))
+        if covis_groups is None:
+            order = np.argsort(-sims)
+            return [int(ids[int(k)]) for k in order[:max_candidates]
+                    if sims[int(k)] > self.abs_floor]
+        scored = []
+        for k in ids:
+            gl = covis_groups(k)
+            gl = [] if gl is None else list(gl)
+            group = [k] + [int(g) for g in gl
+                           if int(g) in sim_of and int(g) != k]
+            acc = float(sum(max(sim_of[g], 0.0) for g in group))
+            best_member = max(group, key=lambda g: sim_of[g])
+            scored.append((acc, best_member))
+        best_acc = max(a for a, _ in scored)
+        out = []
+        for acc, member in sorted(scored, reverse=True):
+            if acc < 0.75 * best_acc or acc <= 0:
+                break
+            if member not in out and sim_of[member] > self.abs_floor:
+                out.append(member)
+            if len(out) >= max_candidates:
+                break
+        return out
 
 
 def verify_loop_sim3(map_state, kf_a, kf_b, fix_scale=False, min_inliers=20, seed=0):
@@ -161,6 +190,13 @@ def verify_loop_sim3(map_state, kf_a, kf_b, fix_scale=False, min_inliers=20, see
 # ---------------------------------------------------------------------------
 # Sim3 pose graph (OptimizeEssentialGraph)
 # ---------------------------------------------------------------------------
+
+@jax.jit
+def _relative_sim3_batch(s, R, t, ei, ej):
+    """Relative measurements S_ij = S_i o S_j^-1 for ALL edges at once."""
+    inv_s, inv_R, inv_t = sim3_mod.sim3_inverse(s[ej], R[ej], t[ej])
+    return sim3_mod.sim3_compose(s[ei], R[ei], t[ei], inv_s, inv_R, inv_t)
+
 
 @functools.partial(jax.jit, static_argnames=("num_iters", "n_kf"))
 def optimize_sim3_pose_graph(
@@ -227,45 +263,50 @@ def correct_loop(map_state, loop_kf, matched_kf, sim3_correction, kf_order=None,
     R = np.stack([m.kf_tcw[k][:3, :3] for k in kfs])
     t = np.stack([m.kf_tcw[k][:3, 3] for k in kfs])
 
-    ei, ej, es, eR, et, ew = [], [], [], [], [], []
-
-    def add_edge(i, j, weight):
-        """Relative measurement S_ij = S_i S_j^-1 from current estimates."""
-        sj_inv, Rj_inv, tj_inv = sim3_mod.sim3_inverse(
-            jnp.asarray(s[j]), jnp.asarray(R[j]), jnp.asarray(t[j])
-        )
-        s_ij, R_ij, t_ij = sim3_mod.sim3_compose(
-            jnp.asarray(s[i]), jnp.asarray(R[i]), jnp.asarray(t[i]),
-            sj_inv, Rj_inv, tj_inv,
-        )
-        ei.append(i); ej.append(j)
-        es.append(float(s_ij)); eR.append(np.array(R_ij)); et.append(np.array(t_ij))
-        ew.append(float(weight))
+    # ---- edge LIST on host (vectorized), measurements in ONE device
+    # program: at 96 keyframes the former per-edge jitted compose calls
+    # cost a dispatch each — the measurement construction must be batched
+    ei_l, ej_l, ew_l = [], [], []
+    inserted = set()
 
     # spanning-chain edges (the sequential KF ordering is our spanning tree)
-    inserted = set()
-    for a, b in zip(kfs[:-1], kfs[1:]):
-        add_edge(idx_of[a], idx_of[b], 1.0)
-        inserted.add((min(a, b), max(a, b)))
+    for a, b in zip(range(K - 1), range(1, K)):
+        ei_l.append(a); ej_l.append(b); ew_l.append(1.0)
+        inserted.add((a, b))
 
     # covisibility edges: KF pairs sharing >= covis_theta map points
     # (GetCovisiblesByWeight(minFeat), Optimizer.cc:2744-)
     covis = m.covisibility_matrix()
-    for ia, a in enumerate(kfs):
-        for b in kfs[ia + 1:]:
-            key = (a, b)
-            if key in inserted or covis[a, b] < covis_theta:
-                continue
-            add_edge(idx_of[a], idx_of[b], 1.0)
-            inserted.add(key)
+    sub = covis[np.ix_(kfs, kfs)]
+    iu, ju = np.triu_indices(K, 1)
+    strong = sub[iu, ju] >= covis_theta
+    for a, b in zip(iu[strong], ju[strong]):
+        key = (int(a), int(b))
+        if key in inserted:
+            continue
+        ei_l.append(int(a)); ej_l.append(int(b)); ew_l.append(1.0)
+        inserted.add(key)
 
     # past loop edges (KeyFrame::GetLoopEdges)
     for a, b in (extra_loop_edges or []):
-        key = (min(a, b), max(a, b))
-        if key in inserted or a not in idx_of or b not in idx_of:
+        if a not in idx_of or b not in idx_of:
             continue
-        add_edge(idx_of[a], idx_of[b], float(len(kfs)))
+        ia, ib = idx_of[a], idx_of[b]
+        key = (min(ia, ib), max(ia, ib))
+        if key in inserted:
+            continue
+        ei_l.append(key[0]); ej_l.append(key[1]); ew_l.append(float(K))
         inserted.add(key)
+
+    ei = list(ei_l); ej = list(ej_l); ew = list(ew_l)
+    es_b, eR_b, et_b = _relative_sim3_batch(
+        jnp.asarray(s), jnp.asarray(R.astype(np.float32)),
+        jnp.asarray(t.astype(np.float32)),
+        jnp.asarray(np.asarray(ei, dtype=np.int32)),
+        jnp.asarray(np.asarray(ej, dtype=np.int32)))
+    es = [float(x) for x in np.array(es_b)]
+    eR = list(np.array(eR_b))
+    et = list(np.array(et_b))
 
     # the loop edge: matched_kf pose should equal correction applied to
     # loop_kf-side geometry

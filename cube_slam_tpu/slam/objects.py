@@ -39,6 +39,7 @@ class Detection:
     owned_kps: np.ndarray    # keypoint indices inside the box
     landmark: int = -1       # associated object id
     tracklet_id: int = -1    # ground-truth tracklet id (KITTI offline mode)
+    age: int = -1            # ObjectManager kf-step counter at creation
 
 
 @dataclass
@@ -72,10 +73,20 @@ class ObjectManager:
     def __init__(self, detector, store: ObjectStore | None = None,
                  min_owned_points=20, min_shared_votes=8, bbox_overlap_max=0.15,
                  min_obs_to_promote=2, min_shared_promote=5,
-                 fixed_scale_prior=None):
+                 fixed_scale_prior=None, meas_cap=32, pending_max_age=8):
         self.detector = detector
         self.store = store or ObjectStore()
+        # PENDING candidate detections (landmark == -2), bounded by age:
+        # the association currency of Tracking.cc:1848-1923. Associated
+        # measurements move into the per-landmark ring `meas` — the
+        # MergeIntoLandmark history (MapObject.cc:108) with a cap, so
+        # association cost is independent of run length.
         self.detections: list[Detection] = []
+        self.meas: dict[int, object] = {}     # landmark -> deque[Detection]
+        self.first_seen: dict[int, int] = {}  # landmark -> kf-step counter
+        self._kf_counter = 0
+        self.meas_cap = meas_cap
+        self.pending_max_age = pending_max_age
         self.min_owned_points = min_owned_points
         self.min_shared_votes = min_shared_votes
         self.bbox_overlap_max = bbox_overlap_max
@@ -95,7 +106,30 @@ class ObjectManager:
         (called from the tracker's System::Reset analog)."""
         self.store.clear()
         self.detections = []
+        self.meas = {}
+        self.first_seen = {}
+        self._kf_counter = 0
         self.trackletid_to_landmark = {}
+
+    def _add_meas(self, o, det):
+        """Attach a measurement to a landmark's bounded history
+        (MergeIntoLandmark, MapObject.cc:108 — ring-buffered)."""
+        from collections import deque
+
+        dq = self.meas.get(o)
+        if dq is None:
+            dq = self.meas[o] = deque(maxlen=self.meas_cap)
+            self.first_seen.setdefault(o, self._kf_counter)
+        dq.append(det)
+
+    def _prune_pending(self):
+        """Bound the pending-candidate list: associated or stale entries
+        leave (the reference culls unpromoted candidates the same way,
+        Tracking.cc:1986-2027)."""
+        self.detections = [
+            d for d in self.detections
+            if d.landmark == -2
+            and self._kf_counter - d.age <= self.pending_max_age]
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -149,7 +183,6 @@ class ObjectManager:
                 bbox=np.array([x + w / 2.0, y + h / 2.0, w, h], dtype=np.float32),
                 quality=float(quality), owned_kps=np.where(inside)[0],
             )
-            self.detections.append(det)
             out.append(det)
         return out
 
@@ -196,7 +229,6 @@ class ObjectManager:
                 owned_kps=np.where(inside)[0],
                 tracklet_id=tid,
             )
-            self.detections.append(det)
             out.append(det)
         return out
 
@@ -227,6 +259,7 @@ class ObjectManager:
         the landmark pose to the latest measurement (SetWorldPos)."""
         m = map_state
         st = self.store
+        self._kf_counter += 1
         for det in dets:
             if det.tracklet_id < 0:
                 continue
@@ -245,6 +278,7 @@ class ObjectManager:
                 st.n_obs[o] += 1
                 st.quality[o] = max(st.quality[o], det.quality)
             det.landmark = int(o)
+            self._add_meas(int(o), det)
             owned_mps = m.kf_kp_mp[det.kf_id, det.owned_kps]
             owned_mps = owned_mps[owned_mps >= 0]
             if len(owned_mps):
@@ -255,7 +289,9 @@ class ObjectManager:
         """Shared-map-point voting association (Tracking.cc:1848-2028)."""
         m = map_state
         st = self.store
+        self._kf_counter += 1
         for det in dets:
+            det.age = self._kf_counter
             owned_mps = m.kf_kp_mp[det.kf_id, det.owned_kps]
             owned_mps = owned_mps[owned_mps >= 0]
             if len(det.owned_kps) < self.min_owned_points:
@@ -271,6 +307,7 @@ class ObjectManager:
                 det.landmark = best
                 st.n_obs[best] += 1
                 st.quality[best] = max(st.quality[best], det.quality)
+                self._add_meas(best, det)
             else:
                 # unmatched: look for an unassociated previous detection of
                 # the same object by SHARED-MAP-POINT voting — two candidate
@@ -299,11 +336,16 @@ class ObjectManager:
                     st.n_obs[o] = n_seen
                     st.quality[o] = det.quality
                     det.landmark = o
+                    self._add_meas(o, det)
                     for d in matched_prev:
                         d.landmark = o
+                        self._add_meas(o, d)
+                else:
+                    self.detections.append(det)
             # point ownership votes
             if det.landmark >= 0 and len(owned_mps):
                 m.mp_best_obj[owned_mps] = det.landmark
+        self._prune_pending()
 
     def _shared_points(self, map_state, d1, d2):
         """Number of map points owned by BOTH detections (the association
@@ -377,12 +419,14 @@ class ObjectManager:
         box_si = np.ones(max_box_edges, dtype=np.float32)
         box_valid = np.zeros(max_box_edges, dtype=bool)
         n = 0
-        n_eligible = sum(1 for d in self.detections
+        ring = [d for o in np.where(st.valid)[0]
+                for d in self.meas.get(int(o), ())]
+        n_eligible = sum(1 for d in ring
                          if d.landmark >= 0 and d.kf_id in kf_map)
         if n_eligible > max_box_edges:
             logger.warning("object BA: clipping %d -> %d bbox edges",
                            n_eligible, max_box_edges)
-        for det in self.detections:
+        for det in ring:
             if det.landmark < 0 or det.kf_id not in kf_map or n >= max_box_edges:
                 continue
             box_kf[n] = kf_map[det.kf_id]
@@ -413,10 +457,14 @@ class ObjectManager:
 
     def cull(self, map_state):
         """Remove landmarks with too few observations after a while
-        (Tracking.cc:1986-2027, simplified)."""
+        (Tracking.cc:1986-2027, simplified): a landmark first seen >= 3
+        keyframe steps ago that never reached 2 sightings goes away."""
         st = self.store
         for o in np.where(st.valid)[0]:
-            dets = [d for d in self.detections if d.landmark == o]
-            if len(dets) >= 3 and st.n_obs[o] < 2:
+            age = self._kf_counter - self.first_seen.get(int(o),
+                                                         self._kf_counter)
+            if age >= 3 and st.n_obs[o] < 2:
                 st.valid[o] = False
+                self.meas.pop(int(o), None)
+                self.first_seen.pop(int(o), None)
                 map_state.mp_best_obj[map_state.mp_best_obj == o] = -1

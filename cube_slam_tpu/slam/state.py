@@ -145,23 +145,91 @@ class MapState:
         return kf_idx, kp_idx, mp_idx
 
 
-@dataclass
 class FrameFeatures:
     """Per-frame extracted features (host mirror of Frame.cc fields).
 
     `dev` optionally holds the DEVICE-resident jnp arrays from extraction
-    (xy/desc/level/valid/angle) so per-frame kernels can consume them
-    without re-uploading — on a tunneled TPU every host->device transfer
-    costs a round trip."""
+    (xy/desc/level/valid/angle, and optionally the (N, 5) "packed" float
+    bundle) so per-frame kernels can consume them without re-uploading.
 
-    xy: np.ndarray       # (N, 2)
-    level: np.ndarray    # (N,)
-    angle: np.ndarray    # (N,)
-    desc: np.ndarray     # (N, 8) uint32
-    valid: np.ndarray    # (N,)
-    mp: np.ndarray = None  # (N,) associated map point ids (-1 none)
-    dev: dict = None     # optional device-array mirror
+    The host arrays are LAZY: when constructed device-first (the fast
+    tracking path), xy/level/angle/desc/valid download on first access —
+    the happy path never touches them, so a tracked frame costs zero
+    feature downloads; only initialization, rescue paths, and keyframe
+    creation materialize the host mirror (two round trips, once)."""
 
-    def __post_init__(self):
-        if self.mp is None:
-            self.mp = np.full(len(self.valid), -1, dtype=np.int32)
+    _HOST_FIELDS = ("xy", "level", "angle", "desc", "valid")
+
+    def __init__(self, xy=None, level=None, angle=None, desc=None,
+                 valid=None, mp=None, dev=None, n_kp=None):
+        self._xy = xy
+        self._level = level
+        self._angle = angle
+        self._desc = desc
+        self._valid = valid
+        self.dev = dev
+        if n_kp is None:
+            if valid is not None:
+                n_kp = len(valid)
+            elif dev is not None:
+                n_kp = int(dev["valid"].shape[0])
+        self.n_kp = n_kp
+        self._mp = (np.full(n_kp, -1, dtype=np.int32) if mp is None else mp)
+        # device-resident association table (fast path); host .mp downloads
+        # from it lazily when set
+        self._mp_dev = None
+
+    def _materialize(self):
+        """Download the packed feature bundle (ONE transfer; descriptors
+        ride as bitcast columns when the 13-wide pack is present)."""
+        packed = np.array(self.dev["packed"]) if "packed" in self.dev else None
+        if packed is None:
+            from ..ops import orb as orb_ops
+            packed = np.array(orb_ops.pack_features(
+                self.dev["xy"], self.dev["level"], self.dev["angle"],
+                self.dev["valid"], self.dev["desc"]))
+        self._xy = np.ascontiguousarray(packed[:, 0:2])
+        self._level = packed[:, 2].astype(np.int32)
+        self._angle = packed[:, 3].copy()
+        self._valid = packed[:, 4] > 0.5
+        if packed.shape[1] >= 13:
+            self._desc = np.ascontiguousarray(
+                packed[:, 5:13]).view(np.uint32)
+        else:
+            self._desc = np.array(self.dev["desc"])
+
+    def _get(self, name):
+        v = getattr(self, "_" + name)
+        if v is None:
+            self._materialize()
+            v = getattr(self, "_" + name)
+        return v
+
+    xy = property(lambda s: s._get("xy"),
+                  lambda s, v: setattr(s, "_xy", v))
+    level = property(lambda s: s._get("level"),
+                     lambda s, v: setattr(s, "_level", v))
+    angle = property(lambda s: s._get("angle"),
+                     lambda s, v: setattr(s, "_angle", v))
+    desc = property(lambda s: s._get("desc"),
+                    lambda s, v: setattr(s, "_desc", v))
+    valid = property(lambda s: s._get("valid"),
+                     lambda s, v: setattr(s, "_valid", v))
+
+    def set_mp_dev(self, kp_mp_dev):
+        """Keep the kp->map-point table device-resident; host .mp access
+        downloads it on demand (keyframe creation / rescue paths)."""
+        self._mp_dev = kp_mp_dev
+        self._mp = None
+
+    @property
+    def mp(self):
+        if self._mp is None:
+            self._mp = (np.array(self._mp_dev) if self._mp_dev is not None
+                        else np.full(self.n_kp, -1, dtype=np.int32))
+        return self._mp
+
+    @mp.setter
+    def mp(self, v):
+        self._mp = v
+        self._mp_dev = None

@@ -74,32 +74,164 @@ class TrackerConfig:
     loop_global_ba: bool = True
 
 
+import functools
+
+import jax
+from jax import lax
+
+from ..utils import hostpack
+
+
+@functools.partial(jax.jit, static_argnames=("E", "KF", "PT", "Q",
+                                             "num_iters"))
+def _local_ba_packed(buf, K, E, KF, PT, Q, num_iters):
+    """local_ba_points with ONE packed upload and ONE packed download
+    (the KF-step's dozen per-array transfers each cost a tunnel round
+    trip — see utils/hostpack). Q edge-pair entries drive the SPARSE
+    reduced-camera assembly (ba.make_schur_pairs)."""
+    specs = [((KF, 4, 4), jnp.float32), ((PT, 3), jnp.float32),
+             ((E,), jnp.int32), ((E,), jnp.int32), ((E, 2), jnp.float32),
+             ((E,), jnp.float32), ((E,), jnp.bool_),
+             ((KF,), jnp.bool_), ((PT,), jnp.bool_),
+             ((E,), jnp.float32), ((E,), jnp.float32),
+             ((Q,), jnp.int32), ((Q,), jnp.int32)]
+    (kf_tcw, pts, obs_kf, obs_pt, obs_uv, obs_si, obs_valid,
+     kf_fixed, pt_valid, obs_z, obs_z_si, pair_e1, pair_e2) = \
+        hostpack.unpack_device(buf, specs)
+    out_tcw, out_pts, _cost, inl = ba.local_ba_points(
+        kf_tcw, pts, K, obs_kf, obs_pt, obs_uv, obs_si, obs_valid,
+        kf_fixed, pt_valid, obs_z=obs_z, obs_z_si=obs_z_si,
+        pair_e1=pair_e1, pair_e2=pair_e2,
+        num_iters=num_iters)
+    return jnp.concatenate([out_tcw.reshape(-1), out_pts.reshape(-1),
+                            inl.astype(jnp.float32)])
+
+
+@functools.partial(jax.jit, static_argnames=("NB", "N"))
+def _triangulate_packed(buf, K, NB, N):
+    """triangulate_multi with one packed upload / one packed download."""
+    specs = [((4, 4), jnp.float32), ((NB, 4, 4), jnp.float32),
+             ((N, 2), jnp.float32), ((N, 8), jnp.uint32), ((N,), jnp.int32),
+             ((N,), jnp.bool_),
+             ((NB, N, 2), jnp.float32), ((NB, N, 8), jnp.uint32),
+             ((NB, N), jnp.int32), ((NB, N), jnp.bool_)]
+    (Tcw1, Tcw2, kp_xy, kp_desc, kp_level, free_k,
+     xy_s, desc_s, level_s, free_s) = hostpack.unpack_device(buf, specs)
+    from . import tracking as trk_mod
+    X_s, m12_s, ok_s = trk_mod.triangulate_multi(
+        Tcw1, Tcw2, K, kp_xy, kp_desc, kp_level, free_k,
+        xy_s, desc_s, level_s, free_s)
+    return jnp.concatenate([X_s.reshape(-1), m12_s.astype(jnp.float32).reshape(-1),
+                            ok_s.astype(jnp.float32).reshape(-1)])
+
+
+@functools.partial(jax.jit, static_argnames=("NN", "M", "N", "radius"))
+def _fuse_packed(buf, K, img_wh, NN, M, N, radius=2.5):
+    """search_local_points_multi with ONE packed upload (candidate
+    map-point data is freshly gathered on host — the device mirror is
+    stale mid-keyframe-step) and one download."""
+    specs = [((NN, 4, 4), jnp.float32),
+             ((M, 3), jnp.float32), ((M, 8), jnp.uint32), ((M,), jnp.int32),
+             ((M,), jnp.bool_), ((M, 3), jnp.float32), ((M,), jnp.float32),
+             ((M,), jnp.float32),
+             ((NN, N, 2), jnp.float32), ((NN, N, 8), jnp.uint32),
+             ((NN, N), jnp.int32), ((NN, N), jnp.bool_)]
+    (Tcw_s, c_pos, c_desc, c_level, mvalid, c_normal, c_min, c_max,
+     xy_s, desc_s, level_s, valid_s) = hostpack.unpack_device(buf, specs)
+    from . import tracking as trk_mod
+    mp_to_kp_s, _ = trk_mod.search_local_points_multi(
+        Tcw_s, K, c_pos, c_desc, c_level, mvalid, c_normal, c_min, c_max,
+        xy_s, desc_s, level_s, valid_s,
+        jnp.zeros((NN, N), dtype=bool), img_wh, jnp.float32(radius))
+    return mp_to_kp_s
+
+
+@functools.partial(jax.jit, static_argnames=("M",))
+def _unpack_map_mirror(packed, M):
+    """Device-side unpack of the single (P, 18) f32 mirror upload into the
+    individual full-size map arrays (bit-exact: int/uint fields travel as
+    raw bits). P is the live-slot prefix; the [P:M) tail is zero-padded on
+    device — uploading the empty tail of a fixed-capacity map would waste
+    real tunnel bandwidth every keyframe."""
+    P = packed.shape[0]
+    if P < M:
+        packed = jnp.concatenate(
+            [packed, jnp.zeros((M - P, 18), dtype=jnp.float32)])
+    return dict(
+        mp_pos=packed[:, 0:3],
+        mp_normal=packed[:, 3:6],
+        mp_min_dist=packed[:, 6],
+        mp_max_dist=packed[:, 7],
+        mp_level=lax.bitcast_convert_type(packed[:, 8], jnp.int32),
+        mp_valid=packed[:, 9] > 0.5,
+        mp_desc=lax.bitcast_convert_type(packed[:, 10:18], jnp.uint32),
+    )
+
+
 class _DeviceMapMirror:
     """Device-resident copies of the full-map arrays consumed by the
-    per-frame kernels. The map mutates only at discrete events (keyframe
-    creation, initialization, loop closure, rescale, reset) — between
-    them, re-uploading ~10 full arrays per frame costs one tunnel round
-    trip each and dominated frame time on real TPU. The tracker bumps
-    `_map_version` at every mutation site; the mirror re-uploads only on a
-    version change."""
+    per-frame kernels, refreshed in ONE packed transfer. The map mutates
+    only at discrete events (keyframe creation, initialization, loop
+    closure, rescale, reset) — between them, uploading arrays per frame
+    costs one tunnel round trip each and dominated frame time on real TPU.
+    The tracker bumps `_map_version` at every mutation site; the mirror
+    re-uploads only on a version change, and as a single (M, 18) f32
+    buffer (ints/bit-packed descriptors ride as raw bits) that a tiny
+    device program unpacks — 2 round trips per refresh instead of 7.
+
+    Also owns the device-resident per-frame VISIBILITY/FOUND counters
+    (MapPoint::IncreaseVisible/IncreaseFound): the fast tracking path
+    accumulates them on device; `sync_counters` folds the deltas into the
+    host arrays at keyframe events."""
 
     def __init__(self):
         self.version = -1
         self.arrays = None
+        self.vis_acc = None
+        self.found_acc = None
 
     def get(self, m, version):
         if version != self.version or self.arrays is None:
-            self.arrays = dict(
-                mp_pos=jnp.asarray(m.mp_pos),
-                mp_desc=jnp.asarray(m.mp_desc),
-                mp_level=jnp.asarray(m.mp_level),
-                mp_valid=jnp.asarray(m.mp_valid),
-                mp_normal=jnp.asarray(m.mp_normal),
-                mp_min_dist=jnp.asarray(m.mp_min_dist),
-                mp_max_dist=jnp.asarray(m.mp_max_dist),
-            )
+            M = m.max_mp
+            # live-slot prefix (slots are allocated front-first, so the
+            # high-water mark bounds every valid slot), bucketed to pow2
+            # for stable compile shapes
+            used = np.where(m.mp_valid)[0]
+            hi = int(used[-1]) + 1 if len(used) else 1
+            P = min(M, max(512, 1 << int(np.ceil(np.log2(hi)))))
+            P = max(P, hi)
+            buf = np.empty((P, 18), dtype=np.float32)
+            buf[:, 0:3] = m.mp_pos[:P]
+            buf[:, 3:6] = m.mp_normal[:P]
+            buf[:, 6] = m.mp_min_dist[:P]
+            buf[:, 7] = m.mp_max_dist[:P]
+            buf[:, 8] = m.mp_level[:P].view(np.float32)
+            buf[:, 9] = m.mp_valid[:P]
+            buf[:, 10:18] = m.mp_desc[:P].view(np.float32)
+            self.arrays = dict(_unpack_map_mirror(jnp.asarray(buf), M=M))
             self.version = version
         return self.arrays
+
+    def counters(self, m):
+        if self.vis_acc is None:
+            self.vis_acc = jnp.zeros(m.max_mp, dtype=jnp.int32)
+            self.found_acc = jnp.zeros(m.max_mp, dtype=jnp.int32)
+        return self.vis_acc, self.found_acc
+
+    def set_counters(self, vis, found):
+        self.vis_acc, self.found_acc = vis, found
+
+    def sync_counters(self, m):
+        """Fold device counter deltas into the host arrays and zero the
+        device side. Must run BEFORE any host mutation that recycles
+        map-point slots (the deltas are slot-indexed)."""
+        if self.vis_acc is None:
+            return
+        deltas = np.array(jnp.stack([self.vis_acc, self.found_acc]))
+        m.mp_visible += deltas[0]
+        m.mp_found += deltas[1]
+        self.vis_acc = jnp.zeros(m.max_mp, dtype=jnp.int32)
+        self.found_acc = jnp.zeros(m.max_mp, dtype=jnp.int32)
 
 
 class MonocularTracker:
@@ -139,13 +271,19 @@ class MonocularTracker:
         self._img_wh_dev = jnp.asarray(self.img_wh)
         self._mirror = _DeviceMapMirror()
         self._map_version = 0
+        # device-resident tracker state for the fast path: (last_Tcw,
+        # velocity, last kp->mp table); None = re-seed from host next frame
+        self._dev_state = None
+        self._sup_dummy = None
         # optional structured per-frame metrics (utils/metrics.MetricsRecorder)
         self.metrics = None
 
     def _bump_map(self):
-        """Invalidate the device map mirror — call after ANY mutation of
-        the map arrays the per-frame kernels consume."""
+        """Invalidate the device map mirror AND the device tracker state —
+        call after ANY mutation of the map arrays or host pose/velocity
+        state the per-frame kernels consume."""
         self._map_version += 1
+        self._dev_state = None
 
     def _n_kp_total(self):
         cfg = orb.OrbPyramidConfig(self.cfg.n_features, n_levels=self.cfg.n_levels)
@@ -153,20 +291,11 @@ class MonocularTracker:
 
     # ------------------------------------------------------------------
     def _extract(self, gray):
-        f = orb.extract_orb(jnp.asarray(gray, dtype=jnp.float32), self.orb_cfg)
-        # two downloads total (packed floats + descriptors) instead of five
-        packed = np.array(orb.pack_features(
-            f["xy"], f["level"], f["angle"], f["valid"]))
-        desc = np.array(f["desc"])
-        return FrameFeatures(
-            xy=np.ascontiguousarray(packed[:, 0:2]),
-            level=packed[:, 2].astype(np.int32),
-            angle=packed[:, 3].copy(),
-            desc=desc,
-            valid=packed[:, 4] > 0.5,
-            dev=dict(xy=f["xy"], level=f["level"], angle=f["angle"],
-                     desc=f["desc"], valid=f["valid"]),
-        )
+        """Whole-pyramid extraction as ONE device program; host fields are
+        lazy (downloaded only by init / rescue / keyframe paths)."""
+        f = orb.extract_orb_fused(
+            jnp.asarray(gray, dtype=jnp.float32), self.orb_cfg)
+        return FrameFeatures(dev=dict(f), n_kp=self._n_kp_total())
 
     def track(self, gray):
         """Process one frame; returns Tcw (4, 4) or None while initializing
@@ -186,9 +315,9 @@ class MonocularTracker:
 
     def _track_one(self, gray):
         self.frame_id += 1
-        feats = self._extract(gray)
 
         if self.state == "NOT_INITIALIZED":
+            feats = self._extract(gray)
             ok = self._try_initialize(feats)
             if ok:
                 self.state = "OK"
@@ -199,7 +328,7 @@ class MonocularTracker:
             self.trajectory.append((self.frame_id, None))
             return None
 
-        ok = self._track_frame(feats)
+        feats, ok = self._track_fast(gray)
         if not ok:
             self.state = "LOST"
             self.trajectory.append((self.frame_id, None))
@@ -215,6 +344,11 @@ class MonocularTracker:
         self._record_pose(self.last_Tcw)
         if self._need_new_keyframe():
             self._create_keyframe(feats)
+            # the keyframe step adds triangulated/fused associations to the
+            # new reference KF = this frame; carry them into the next
+            # frame's motion-model candidates
+            if self.ref_kf >= 0:
+                feats.mp = self.map.kf_kp_mp[self.ref_kf].copy()
             self._bump_map()
         self.last_frame = feats
         return self.last_Tcw.copy()
@@ -304,71 +438,103 @@ class MonocularTracker:
     # ------------------------------------------------------------------
     # per-frame tracking
     # ------------------------------------------------------------------
-    def _track_frame(self, feats):
+    def _ensure_dev_state(self):
+        """(Re-)seed the device tracker state from the host mirrors after a
+        rescue / keyframe event / reset — one packed upload."""
+        if self._dev_state is not None:
+            return self._dev_state
+        n_kp = self._n_kp_total()
+        mp = (self.last_frame.mp if self.last_frame is not None
+              else np.full(n_kp, -1, dtype=np.int32))
+        buf = np.concatenate([
+            self.last_Tcw.astype(np.float32).ravel(),
+            self.velocity.astype(np.float32).ravel(),
+            np.ascontiguousarray(mp.astype(np.int32)).view(np.float32),
+        ])
+        self._dev_state = trk.pack_track_state(jnp.asarray(buf))
+        return self._dev_state
+
+    def _suppress_dev(self, gray):
+        """Hook: (mask, use) for suppressing keypoints in image regions
+        (dynamic-object masks). Default: no suppression."""
+        if self._sup_dummy is None:
+            self._sup_dummy = jnp.zeros((1, 1), dtype=jnp.float32)
+        return self._sup_dummy, False
+
+    def _track_fast(self, gray):
+        """The per-frame happy path: ONE gray upload, ONE fused device
+        program (extraction + motion tracking + local-map search + pose
+        optimization + state/counter updates), ONE small download. Falls
+        back to the host rescue paths (PnP / reference-KF / relocalization)
+        when the fused track reports too few inliers.
+
+        Returns (feats, ok)."""
         cfg = self.cfg
-        Tcw_pred = self.velocity @ self.last_Tcw
-
-        # candidates: map points seen in the last frame (TrackWithMotionModel)
-        last_mp = self.last_frame.mp
-        cand_ids = np.unique(last_mp[last_mp >= 0])
-        cand_ids = cand_ids[self.map.mp_valid[cand_ids]]
-        if len(cand_ids) < 10:
-            cand_ids = self.map.mp_ids()
-        M = 1024
-        cand_ids = _select_best(
-            cand_ids,
-            self.map.mp_found[cand_ids] / np.maximum(self.map.mp_visible[cand_ids], 1),
-            M, "track candidates",
-        )
-        cand = np.full(M, 0, dtype=np.int64)
-        mvalid = np.zeros(M, dtype=bool)
-        take = min(len(cand_ids), M)
-        cand[:take] = cand_ids[:take]
-        mvalid[:take] = True
-
-        # happy path: the WHOLE per-frame pipeline (motion tracking ->
-        # local-map search -> final pose optimization, with the kp->mp
-        # association built on device) is one fused program + one download
-        fd = feats.dev or {}
-        dev = self._mirror.get(self.map, self._map_version)
-        Tcw_f, kp_mp, n_in, n_in2, visible, raw_match = trk.track_frame_fused(
-            jnp.asarray(Tcw_pred), self._K_dev,
-            jnp.asarray(cand), jnp.asarray(mvalid),
+        m = self.map
+        dev = self._mirror.get(m, self._map_version)
+        vis_acc, found_acc = self._mirror.counters(m)
+        state = self._ensure_dev_state()
+        sup, use_sup = self._suppress_dev(gray)
+        g = np.asarray(gray)
+        small, new_state, fdev, counters, rescue = trk.step_frame(
+            jnp.asarray(g if g.dtype == np.uint8 else
+                        g.astype(np.float32, copy=False)),
+            state[0], state[1], state[2],
             dev["mp_pos"], dev["mp_desc"], dev["mp_level"], dev["mp_valid"],
             dev["mp_normal"], dev["mp_min_dist"], dev["mp_max_dist"],
-            fd.get("xy", feats.xy), fd.get("desc", feats.desc),
-            fd.get("level", feats.level), fd.get("valid", feats.valid),
-            jnp.float32(cfg.match_radius_motion),
-            jnp.float32(cfg.match_radius_local), self._img_wh_dev,
+            vis_acc, found_acc, self._K_dev, self._img_wh_dev, sup,
+            orb_cfg=self.orb_cfg, use_suppress=use_sup,
+            radius_motion=float(cfg.match_radius_motion),
+            radius_local=float(cfg.match_radius_local),
+            min_track=int(cfg.min_inliers_track),
+            min_local=int(cfg.min_inliers_local),
         )
-        n_in = int(n_in)
-        if n_in < cfg.min_inliers_track:
-            # wide-baseline rescue: PnP-RANSAC on the raw window matches
-            # (plain pose LM cannot absorb large inter-frame motion; the
-            # reference's answer is Relocalization's PnP, Tracking.cc:2876)
-            ok_pnp, Tcw_p, mp_to_kp_p, n_p = self._pnp_on_matches(
-                feats, cand, np.array(raw_match)
-            )
-            if ok_pnp and n_p >= cfg.min_inliers_track:
-                return self._track_local_after_rescue(
-                    feats, Tcw_p, mp_to_kp_p, cand)
-            # TrackReferenceKeyFrame analog (Tracking.cc:1160): global
-            # descriptor match against the reference KF's map points
-            ok_ref, Tcw_r, mp_to_kp_r, cand_r, n_r = self._track_reference_kf(
-                feats, Tcw_pred
-            )
-            if ok_ref:
-                return self._track_local_after_rescue(
-                    feats, Tcw_r, mp_to_kp_r, cand_r)
-            # relocalization (Tracking::Relocalization, :2876)
-            return self._relocalize(feats)
+        small_h = np.array(small)  # the ONE per-frame download
+        Tcw_f = small_h[:16].reshape(4, 4).astype(np.float32)
+        n_in = int(small_h[16])
+        n_in2 = int(small_h[17])
+        ok = small_h[18] > 0.5
+        self._last_track_stats = (n_in, n_in2, int(small_h[19]))
+        feats = FrameFeatures(dev=dict(fdev), n_kp=self._n_kp_total())
+        self._mirror.set_counters(*counters)
 
-        n_in2 = int(n_in2)
-        if n_in2 < cfg.min_inliers_local:
-            return False
-        feats.mp = np.array(kp_mp)
-        return self._finish_tracked_frame(feats, np.array(Tcw_f),
-                                          np.array(visible), n_in2)
+        if ok:
+            self._dev_state = new_state
+            feats.set_mp_dev(new_state[2])
+            self.velocity = (
+                Tcw_f.astype(np.float64)
+                @ np_geo.inv_T(self.last_Tcw.astype(np.float64))
+            ).astype(np.float32)
+            self.last_Tcw = Tcw_f
+            self.tracked_inliers = n_in2
+            return feats, True
+
+        # failure: host rescue paths take over (they mutate host state, so
+        # the device state re-seeds next frame)
+        self._dev_state = None
+        if n_in >= cfg.min_inliers_track:
+            # motion stage fine but local-map stage too weak -> lost
+            return feats, False
+        Tcw_pred = self.velocity @ self.last_Tcw
+        cand_ids_d, raw_d = rescue
+        cand = np.array(cand_ids_d).astype(np.int64)
+        # wide-baseline rescue: PnP-RANSAC on the raw window matches
+        # (plain pose LM cannot absorb large inter-frame motion; the
+        # reference's answer is Relocalization's PnP, Tracking.cc:2876)
+        ok_pnp, Tcw_p, mp_to_kp_p, n_p = self._pnp_on_matches(
+            feats, cand, np.array(raw_d))
+        if ok_pnp and n_p >= cfg.min_inliers_track:
+            return feats, self._track_local_after_rescue(
+                feats, Tcw_p, mp_to_kp_p, cand)
+        # TrackReferenceKeyFrame analog (Tracking.cc:1160): global
+        # descriptor match against the reference KF's map points
+        ok_ref, Tcw_r, mp_to_kp_r, cand_r, n_r = self._track_reference_kf(
+            feats, Tcw_pred)
+        if ok_ref:
+            return feats, self._track_local_after_rescue(
+                feats, Tcw_r, mp_to_kp_r, cand_r)
+        # relocalization (Tracking::Relocalization, :2876)
+        return feats, self._relocalize(feats)
 
     def _finish_tracked_frame(self, feats, Tcw_f, visible, n_in2):
         """Common epilogue: culling stats + motion model update."""
@@ -509,7 +675,10 @@ class MonocularTracker:
 
         m = self.map
         sig = lc.keyframe_signature(feats.desc, feats.valid)
-        for kf_cand in self.loop_detector.detect_relocalization(sig):
+        covis = lambda k: (np.where(m.covisibility_counts(k) >= 15)[0]
+                           if m.kf_valid[k] else ())
+        for kf_cand in self.loop_detector.detect_relocalization(
+                sig, covis_groups=covis):
             if not m.kf_valid[kf_cand]:
                 continue
             ref_mp = m.kf_kp_mp[kf_cand]
@@ -576,6 +745,9 @@ class MonocularTracker:
         if since < 1:
             return False
         ref_tracked = int((self.map.kf_kp_mp[self.ref_kf] >= 0).sum()) if self.ref_kf >= 0 else 0
+        if ref_tracked == 0:
+            # reference keyframe gone (culled/evicted) — re-anchor now
+            return self.tracked_inliers > 15
         need = since >= cfg.new_kf_max_frames or (
             self.tracked_inliers < cfg.new_kf_ref_ratio * max(ref_tracked, 1)
             and self.tracked_inliers > 15
@@ -603,6 +775,9 @@ class MonocularTracker:
         self.tracked_inliers = 0
         self.loop_detector = LoopDetector(min_gap_kfs=self.cfg.loop_min_gap_kfs)
         self.loop_edges = []
+        # drop stale device counter deltas along with the map
+        self._mirror.vis_acc = None
+        self._mirror.found_acc = None
         self._bump_map()
 
     def _evict_one_kf(self):
@@ -651,6 +826,9 @@ class MonocularTracker:
 
     def _create_keyframe(self, feats):
         cfg = self.cfg
+        # fold device visibility/found deltas into the host arrays BEFORE
+        # culling reads the ratios or slot recycling invalidates the deltas
+        self._mirror.sync_counters(self.map)
         k = self._insert_keyframe_raw(feats, self.last_Tcw, self.frame_id)
         self.map.kf_kp_mp[k, : len(feats.mp)] = feats.mp
         obs = feats.mp >= 0
@@ -798,16 +976,19 @@ class MonocularTracker:
              np.zeros((NB - len(neighbors),) + arr.shape[1:], arr.dtype)]) \
             if len(neighbors) < NB else np.stack([arr[nb] for nb in neighbors])
 
-        X_s, m12_s, ok_s = trk.triangulate_multi(
-            jnp.asarray(m.kf_tcw[k]), jnp.asarray(Tcw2), self._K_dev,
-            jnp.asarray(m.kf_kp_xy[k]), jnp.asarray(m.kf_kp_desc[k]),
-            jnp.asarray(m.kf_kp_level[k]), jnp.asarray(free_k),
-            jnp.asarray(stack(m.kf_kp_xy)), jnp.asarray(stack(m.kf_kp_desc)),
-            jnp.asarray(stack(m.kf_kp_level)), jnp.asarray(free_nb),
-        )
-        X_s = np.array(X_s)
-        m12_s = np.array(m12_s)
-        ok_s = np.array(ok_s)
+        N = m.n_kp
+        buf = hostpack.pack_host([
+            m.kf_tcw[k], Tcw2, m.kf_kp_xy[k], m.kf_kp_desc[k],
+            m.kf_kp_level[k], free_k,
+            stack(m.kf_kp_xy), stack(m.kf_kp_desc), stack(m.kf_kp_level),
+            free_nb])
+        out = np.array(_triangulate_packed(jnp.asarray(buf), self._K_dev,
+                                           NB=NB, N=N))
+        o1 = NB * N * 3
+        o2 = o1 + NB * N
+        X_s = out[:o1].reshape(NB, N, 3)
+        m12_s = out[o1:o2].reshape(NB, N).astype(np.int32)
+        ok_s = out[o2:].reshape(NB, N) > 0.5
         for i, nb in enumerate(neighbors):
             ok = ok_s[i] & free_k
             sel = np.where(ok)[0]
@@ -860,20 +1041,17 @@ class MonocularTracker:
         pad_valid = np.stack(
             [m.kf_kp_valid[nb] if i < len(order) else
              np.zeros(m.n_kp, dtype=bool) for i, nb in enumerate(nbs)])
-        mp_to_kp_s, _ = trk.search_local_points_multi(
-            jnp.asarray(np.stack([m.kf_tcw[nb] for nb in nbs])), self._K_dev,
-            jnp.asarray(m.mp_pos[cand]), jnp.asarray(m.mp_desc[cand]),
-            jnp.asarray(m.mp_level[cand]), jnp.asarray(mvalid),
-            jnp.asarray(m.mp_normal[cand]), jnp.asarray(m.mp_min_dist[cand]),
-            jnp.asarray(m.mp_max_dist[cand]),
-            jnp.asarray(np.stack([m.kf_kp_xy[nb] for nb in nbs])),
-            jnp.asarray(np.stack([m.kf_kp_desc[nb] for nb in nbs])),
-            jnp.asarray(np.stack([m.kf_kp_level[nb] for nb in nbs])),
-            jnp.asarray(pad_valid),
-            jnp.asarray(np.zeros((NN, m.n_kp), dtype=bool)),
-            self._img_wh_dev, jnp.float32(2.5),
-        )
-        mp_to_kp_s = np.array(mp_to_kp_s)
+        buf = hostpack.pack_host([
+            np.stack([m.kf_tcw[nb] for nb in nbs]),
+            m.mp_pos[cand], m.mp_desc[cand], m.mp_level[cand], mvalid,
+            m.mp_normal[cand], m.mp_min_dist[cand], m.mp_max_dist[cand],
+            np.stack([m.kf_kp_xy[nb] for nb in nbs]),
+            np.stack([m.kf_kp_desc[nb] for nb in nbs]),
+            np.stack([m.kf_kp_level[nb] for nb in nbs]),
+            pad_valid])
+        mp_to_kp_s = np.array(_fuse_packed(
+            jnp.asarray(buf), self._K_dev, self._img_wh_dev,
+            NN=NN, M=M, N=m.n_kp))
         for i, nb in enumerate(order):
             mp_to_kp = mp_to_kp_s[i]
             sel = np.where(mp_to_kp >= 0)[0]
@@ -965,7 +1143,11 @@ class MonocularTracker:
         kf_idx, kp_idx, mp_idx = m.observations_of(mp_set)
         keep = np.isin(kf_idx, kfs)
         kf_idx, kp_idx, mp_idx = kf_idx[keep], kp_idx[keep], mp_idx[keep]
-        E = cfg.max_obs_edges
+        # bucket the edge capacity to the actual count (pow2, floor 1024):
+        # the padded tail costs real upload bandwidth + FLOPs every KF, and
+        # the handful of bucketed compiles are cached
+        E = min(cfg.max_obs_edges,
+                max(1024, 1 << int(np.ceil(np.log2(max(len(kf_idx), 1))))))
         n_e = min(len(kf_idx), E)
         if len(kf_idx) > E:
             logger.warning("local BA: clipping %d -> %d observation edges",
@@ -1015,22 +1197,23 @@ class MonocularTracker:
         pt_valid[:npt] = True
         obs_valid &= (obs_kf < nk) & (obs_pt < npt)
 
-        out_tcw, out_pts, cost, inl = ba.local_ba_points(
-            jnp.asarray(kf_tcw), jnp.asarray(pts), jnp.asarray(self.K),
-            jnp.asarray(obs_kf), jnp.asarray(obs_pt), jnp.asarray(obs_uv),
-            jnp.asarray(obs_si), jnp.asarray(obs_valid),
-            jnp.asarray(kf_fixed), jnp.asarray(pt_valid),
-            obs_z=jnp.asarray(obs_z), obs_z_si=jnp.asarray(obs_z_si),
-            num_iters=cfg.local_ba_iters,
-        )
-        out_tcw = np.array(out_tcw)
-        out_pts = np.array(out_pts)
+        pair_e1, pair_e2 = ba.make_schur_pairs(obs_pt, obs_valid)
+        buf = hostpack.pack_host([
+            kf_tcw, pts, obs_kf, obs_pt, obs_uv, obs_si, obs_valid,
+            kf_fixed, pt_valid, obs_z, obs_z_si, pair_e1, pair_e2])
+        out = np.array(_local_ba_packed(
+            jnp.asarray(buf), self._K_dev, E=E, KF=KF_CAP, PT=PT_CAP,
+            Q=len(pair_e1), num_iters=cfg.local_ba_iters))
+        o1 = KF_CAP * 16
+        o2 = o1 + PT_CAP * 3
+        out_tcw = out[:o1].reshape(KF_CAP, 4, 4)
+        out_pts = out[o1:o2].reshape(PT_CAP, 3)
+        inl = out[o2:] > 0.5
         for i, k in enumerate(kfs[:nk]):
             if not kf_fixed[i]:
                 m.kf_tcw[k] = out_tcw[i]
         m.mp_pos[mp_set[:npt]] = out_pts[:npt]
         # drop observations flagged as outliers
-        inl = np.array(inl)
         for n in range(n_e):
             if obs_valid[n] and not inl[n]:
                 m.kf_kp_mp[kf_idx[n], kp_idx[n]] = -1
@@ -1056,11 +1239,17 @@ class MonocularTracker:
         when >=90% of its map points are observed by at least 3 other
         keyframes; redundant KFs are removed (latest few always kept)."""
         m = self.map
-        kfs = sorted(int(k) for k in m.kf_ids())
+        # temporal order (kf_frame_id), NOT slot order: recycled slots put
+        # recent keyframes at low slot ids, and culling must never take the
+        # reference/newest keyframes
+        kfs = sorted((int(k) for k in m.kf_ids()),
+                     key=lambda k: int(m.kf_frame_id[k]))
         if len(kfs) <= keep_latest + 2:
             return 0
         removed = 0
         for k in kfs[1:-keep_latest]:  # never the first or the latest
+            if k == self.ref_kf:
+                continue
             mp = m.kf_kp_mp[k]
             ids = mp[mp >= 0]
             ids = ids[m.mp_valid[ids]]

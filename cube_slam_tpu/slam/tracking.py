@@ -182,6 +182,125 @@ def track_frame_fused(
     return Tcw_f, kp_mp, n_in, n_in2, visible, raw
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "orb_cfg", "use_suppress", "radius_motion", "radius_local",
+    "min_track", "min_local", "n_cand"))
+def step_frame(
+    gray,                                     # (H, W) f32 — the ONLY per-frame upload
+    last_Tcw, velocity, last_kp_mp,           # device-resident tracker state
+    mp_pos, mp_desc, mp_level, mp_valid,      # full-map mirror arrays (M, ...)
+    mp_normal, mp_min_dist, mp_max_dist,
+    vis_acc, found_acc,                       # (M,) int32 device counters
+    K, img_wh,
+    suppress,                                 # (H, W) f32 mask or dummy
+    orb_cfg=None,
+    use_suppress: bool = False,
+    radius_motion: float = 15.0,
+    radius_local: float = 6.0,
+    min_track: int = 10,
+    min_local: int = 20,
+    n_cand: int = 1024,
+):
+    """ONE device program for the ENTIRE per-frame happy path:
+
+    ORB pyramid extraction (ops/orb.extract_orb_fused body) -> motion-model
+    candidate selection from the previous frame's device-resident
+    associations (TrackWithMotionModel's candidate set + _select_best's
+    found/visible ranking, on-device top-k) -> fused motion tracking +
+    local-map search + final pose optimization (track_frame_fused) ->
+    motion-model velocity update -> visibility/found counter accumulation.
+
+    The host uploads ONLY the gray frame and downloads ONLY a small packed
+    vector; everything else (tracker state, frame features, counters) stays
+    device-resident between frames. This is what makes video-rate tracking
+    possible on a tunneled TPU where every host<->device transfer costs a
+    round trip (Tracking::Track, Tracking.cc:480-780, restructured).
+
+    Returns (small, new_state, feats, counters, rescue):
+      small     (20,) f32: [Tcw_f(16), n_in, n_in2, ok, n_valid_kps]
+      new_state (last_Tcw, velocity, kp_mp) — feed back next frame
+      feats     dict with xy/level/angle/desc/valid/packed (device)
+      counters  (vis_acc, found_acc) — feed back next frame
+      rescue    (cand_ids, raw_match) for the host PnP rescue path
+    """
+    from ..ops import orb as orb_ops
+
+    # accept uint8 frames: 4x less upload bandwidth through the tunnel
+    gray = gray.astype(jnp.float32)
+    feats = orb_ops._extract_body(gray, orb_cfg)
+    kp_xy, kp_desc = feats["xy"], feats["desc"]
+    kp_level, kp_valid = feats["level"], feats["valid"]
+    if use_suppress:
+        H, W = gray.shape
+        xi = jnp.clip(kp_xy[:, 0].astype(jnp.int32), 0, W - 1)
+        yi = jnp.clip(kp_xy[:, 1].astype(jnp.int32), 0, H - 1)
+        kp_valid = kp_valid & (suppress[yi, xi] < 0.5)
+        feats = dict(feats, valid=kp_valid)
+    feats["packed"] = orb_ops.pack_features(
+        feats["xy"], feats["level"], feats["angle"], kp_valid, kp_desc)
+
+    M = mp_pos.shape[0]
+    N = kp_xy.shape[0]
+    Tcw_pred = velocity @ last_Tcw
+
+    # candidate set: map points associated in the last frame (device
+    # scatter), ranked by found/visible (the host _select_best policy),
+    # top-n_cand gathered on device. Falls back to the whole map when the
+    # last frame contributed too few candidates.
+    seen = jnp.zeros((M + 1,), dtype=bool)
+    tgt = jnp.where(last_kp_mp >= 0, last_kp_mp, M)
+    seen = seen.at[tgt].set(True)[:M]
+    cand_mask = seen & mp_valid
+    enough = jnp.sum(cand_mask) >= min_track
+    cand_mask = jnp.where(enough, cand_mask, mp_valid)
+    score = found_acc.astype(jnp.float32) / jnp.maximum(
+        vis_acc.astype(jnp.float32), 1.0)
+    score = jnp.where(cand_mask, score + 1.0, -1.0)
+    _, cand_ids = jax.lax.top_k(score, n_cand)
+    cand_valid = cand_mask[cand_ids]
+
+    Tcw_f, kp_mp, n_in, n_in2, visible, raw = track_frame_fused(
+        Tcw_pred, K, cand_ids.astype(jnp.int32), cand_valid,
+        mp_pos, mp_desc, mp_level, mp_valid, mp_normal,
+        mp_min_dist, mp_max_dist,
+        kp_xy, kp_desc, kp_level, kp_valid,
+        jnp.float32(radius_motion), jnp.float32(radius_local), img_wh)
+
+    ok = (n_in >= min_track) & (n_in2 >= min_local)
+    okf = ok.astype(jnp.float32)
+
+    # counters only advance on a successful track (host rescue paths update
+    # the host arrays directly; these deltas sync at keyframe events)
+    vis_acc = vis_acc + (visible & ok).astype(jnp.int32)
+    fnd = jnp.zeros((M + 1,), dtype=jnp.int32)
+    ftgt = jnp.where((kp_mp >= 0) & ok, kp_mp, M)
+    fnd = fnd.at[ftgt].add(1)[:M]
+    found_acc = found_acc + fnd
+
+    kp_mp_out = jnp.where(ok, kp_mp, -1)
+    new_last_Tcw = jnp.where(ok, Tcw_f, last_Tcw)
+    new_velocity = jnp.where(ok, Tcw_f @ geo.inv_T(last_Tcw), velocity)
+
+    small = jnp.concatenate([
+        Tcw_f.reshape(-1),
+        jnp.stack([n_in.astype(jnp.float32), n_in2.astype(jnp.float32),
+                   okf, jnp.sum(kp_valid).astype(jnp.float32)]),
+    ])
+    return (small, (new_last_Tcw, new_velocity, kp_mp_out), feats,
+            (vis_acc, found_acc), (cand_ids, raw))
+
+
+@jax.jit
+def pack_track_state(buf):
+    """Unpack a host-packed tracker-state upload: [Tcw(16), vel(16),
+    kp_mp bits (N)] -> (Tcw, velocity, kp_mp). One transfer instead of
+    three when the host re-seeds the device state after a rescue/reset."""
+    Tcw = buf[:16].reshape(4, 4)
+    vel = buf[16:32].reshape(4, 4)
+    kp_mp = jax.lax.bitcast_convert_type(buf[32:], jnp.int32)
+    return Tcw, vel, kp_mp
+
+
 @functools.partial(jax.jit, static_argnames=())
 def triangulate_pair(
     Tcw1, Tcw2, K,

@@ -111,3 +111,58 @@ def test_local_ba_masks_padding():
     assert np.isfinite(np.asarray(out_pts)).all()
     # true observations still explain the solution
     assert float(cost) < 1.0
+
+
+def test_schur_sparse_pairs_match_dense():
+    """The edge-pair (sparse) reduced-camera assembly must produce the
+    same solution as the dense (Kf, P) W-grid path — same math, different
+    memory/compute shape (ba.py make_schur_pairs)."""
+    import jax.numpy as jnp
+
+    from cube_slam_tpu.graph import ba
+
+    rng = np.random.default_rng(7)
+    n_kf, n_pt, n_edge = 5, 60, 240
+    Kc = np.array([[400.0, 0, 320], [0, 400.0, 240], [0, 0, 1]], np.float32)
+    pts = rng.uniform(-2, 2, size=(n_pt, 3)).astype(np.float32)
+    pts[:, 2] += 6.0
+    kf_tcw = np.tile(np.eye(4, dtype=np.float32), (n_kf, 1, 1))
+    for i in range(n_kf):
+        kf_tcw[i, :3, 3] = [0.15 * i, 0.02 * i, 0.0]
+    obs_kf = rng.integers(0, n_kf, size=n_edge).astype(np.int32)
+    obs_pt = rng.integers(0, n_pt, size=n_edge).astype(np.int32)
+    pc = np.einsum("eij,ej->ei", kf_tcw[obs_kf, :3, :3], pts[obs_pt]) \
+        + kf_tcw[obs_kf, :3, 3]
+    uv = pc @ Kc.T
+    obs_uv = (uv[:, :2] / uv[:, 2:3]
+              + rng.normal(0, 0.4, size=(n_edge, 2))).astype(np.float32)
+    si = np.ones(n_edge, np.float32)
+    valid = np.ones(n_edge, bool)
+    valid[::17] = False
+    kf_fixed = np.zeros(n_kf, bool)
+    kf_fixed[0] = True
+    pt_valid = np.ones(n_pt, bool)
+    pts_noisy = pts + rng.normal(0, 0.05, size=pts.shape).astype(np.float32)
+
+    args = (jnp.asarray(kf_tcw), jnp.asarray(pts_noisy), jnp.asarray(Kc),
+            jnp.asarray(obs_kf), jnp.asarray(obs_pt), jnp.asarray(obs_uv),
+            jnp.asarray(si), jnp.asarray(valid), jnp.asarray(kf_fixed),
+            jnp.asarray(pt_valid))
+    e1, e2 = ba.make_schur_pairs(obs_pt, valid)
+
+    # one LM step is BIT-IDENTICAL (same normal equations, same solve)
+    tcw_d1, pts_d1, _, _ = ba.local_ba_points(*args, num_iters=1)
+    tcw_s1, pts_s1, _, _ = ba.local_ba_points(
+        *args, pair_e1=jnp.asarray(e1), pair_e2=jnp.asarray(e2), num_iters=1)
+    np.testing.assert_array_equal(np.array(tcw_s1), np.array(tcw_d1))
+    np.testing.assert_array_equal(np.array(pts_s1), np.array(pts_d1))
+
+    # over several iterations f32 summation-order noise can flip an LM
+    # accept decision — the solutions stay equivalent in COST
+    tcw_d, pts_d, cost_d, inl_d = ba.local_ba_points(*args, num_iters=6)
+    tcw_s, pts_s, cost_s, inl_s = ba.local_ba_points(
+        *args, pair_e1=jnp.asarray(e1), pair_e2=jnp.asarray(e2),
+        num_iters=6)
+    np.testing.assert_allclose(float(cost_s), float(cost_d), rtol=2e-3)
+    np.testing.assert_allclose(np.array(tcw_s), np.array(tcw_d), atol=2e-2)
+    assert (np.array(inl_s) == np.array(inl_d)).mean() > 0.98

@@ -89,11 +89,15 @@ def test_dynamic_object_in_slam_runtime():
         if 0 <= fid < N:
             errs.append(np.linalg.norm(
                 pose[:3, 3] - true_obj[fid][:3, 3].astype(np.float32)))
-    assert np.median(errs) < 0.45, errs
+    # measured 0.079 with the reference-shipped edge gating
+    # (ba_dyna_pt_obj_cam=false + whether_fixrotation) — pin well below the
+    # pre-gating 0.385 so regressions to pose-dragging are caught
+    assert np.median(errs) < 0.25, errs
 
-    # object motion direction matches (relative displacement)
-    kfs = sorted(ch.kf_pose)
+    # object motion direction matches (relative displacement); order by
+    # TIME — keyframe slots get recycled, so slot order is not frame order
+    kfs = sorted(ch.kf_pose, key=lambda k: int(m.kf_frame_id[k]))
     disp = ch.kf_pose[kfs[-1]][:3, 3] - ch.kf_pose[kfs[0]][:3, 3]
     fid0, fid1 = int(m.kf_frame_id[kfs[0]]), int(m.kf_frame_id[kfs[-1]])
     disp_true = true_obj[fid1][:3, 3] - true_obj[fid0][:3, 3]
-    np.testing.assert_allclose(disp, disp_true, atol=0.3)
+    np.testing.assert_allclose(disp, disp_true, atol=0.2)  # measured <=0.09

@@ -173,3 +173,58 @@ def test_optimize_sim3_relative():
     np.testing.assert_allclose(float(s), s_true, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(R), R_true, atol=1e-3)
     np.testing.assert_allclose(np.asarray(t), t_true, atol=5e-3)
+
+
+def test_relocalization_covisibility_accumulated_scoring():
+    """KeyFrameDatabase.cc:196-260 parity: on a map with REPEATED structure
+    a single aliased keyframe can out-score the true place, but its
+    covisibility group cannot — accumulated scoring must pick the member
+    of the strongest group, where single-signature ranking fails."""
+    from cube_slam_tpu.slam.loop_closing import (LoopDetector,
+                                                 keyframe_signature,
+                                                 signature_similarity)
+
+    rng = np.random.default_rng(3)
+    n_kp = 64
+
+    def descs(base=None, flip_frac=0.0):
+        if base is None:
+            return rng.integers(0, 2**32, (n_kp, 8), dtype=np.uint32)
+        n_flip = 3 if flip_frac == 0 else 1  # AND of n random words ~ flip%
+        f = rng.integers(0, 2**32, (n_kp, 8), dtype=np.uint32)
+        for _ in range(n_flip - 1):
+            f &= rng.integers(0, 2**32, (n_kp, 8), dtype=np.uint32)
+        return base ^ f
+
+    valid = np.ones(n_kp, dtype=bool)
+    # the TRUE place: two covisible keyframes 0 and 1, both moderately
+    # similar to the query (~12% bits flipped)
+    place = descs()
+    d0 = descs(place)
+    d1 = descs(place)
+    # the ALIAS: keyframe 5, repeated structure closer to the query in raw
+    # similarity (~6% flipped) but with NO covisible support
+    query_desc = descs(place)
+    alias = query_desc ^ (rng.integers(0, 2**32, (n_kp, 8), dtype=np.uint32)
+                         & rng.integers(0, 2**32, (n_kp, 8), dtype=np.uint32)
+                         & rng.integers(0, 2**32, (n_kp, 8), dtype=np.uint32)
+                         & rng.integers(0, 2**32, (n_kp, 8), dtype=np.uint32))
+
+    det = LoopDetector()
+    det.add(0, d0, valid)
+    det.add(1, d1, valid)
+    det.add(5, alias, valid)
+    sig = keyframe_signature(query_desc, valid)
+
+    db = np.stack([det.signatures[i] for i in (0, 1, 5)])
+    sims = signature_similarity(sig, db)
+    assert sims[2] > sims[0] and sims[2] > sims[1], sims  # alias wins singly
+
+    # single-signature ranking: the alias comes first (the failure mode)
+    single = det.detect_relocalization(sig)
+    assert single[0] == 5, single
+
+    # accumulated over covisibility groups: the true place's group wins
+    covis = {0: [1], 1: [0], 5: []}
+    grouped = det.detect_relocalization(sig, covis_groups=lambda k: covis[k])
+    assert grouped[0] in (0, 1), grouped
