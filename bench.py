@@ -154,13 +154,13 @@ def bench_schur_ba(jax, jnp, np, n_kf=16, n_pt=2048, n_edge=8192, iters=5):
     pt_valid = np.ones(n_pt, bool)
     pts_noisy = pts + rng.normal(0, 0.03, size=pts.shape).astype(np.float32)
 
-    pair_e1, pair_e2 = ba.make_schur_pairs(obs_pt, valid)
     args = (jnp.asarray(kf_tcw), jnp.asarray(pts_noisy), jnp.asarray(K),
             jnp.asarray(obs_kf), jnp.asarray(obs_pt), jnp.asarray(obs_uv),
             jnp.asarray(si), jnp.asarray(valid), jnp.asarray(kf_fixed),
             jnp.asarray(pt_valid))
-    kw = dict(num_iters=iters, n_kf=n_kf, n_pt=n_pt,
-              pair_e1=jnp.asarray(pair_e1), pair_e2=jnp.asarray(pair_e2))
+    # device-side sparse pair schedule (what the runtime's keyframe step
+    # uses): schur_window = n_kf is exact (<=1 obs per point per KF)
+    kw = dict(num_iters=iters, n_kf=n_kf, n_pt=n_pt, schur_window=n_kf)
     compiled, flops = _aot(ba.local_ba_points, *args, **kw)
     jax.block_until_ready(compiled(*args))
     n = 10
@@ -190,7 +190,7 @@ def bench_tracker(np, n_frames=36, warmup=12):
     frames = [np.clip(scene.render(poses[i], K, wh=(320, 240)), 0, 255)
               .astype(np.uint8) for i in range(n_frames)]
     cfg = TrackerConfig(n_features=600, n_levels=3, max_kf=48, max_mp=8192,
-                        min_init_kps=80, min_init_matches=80)
+                        min_init_kps=80, min_init_matches=80, pipeline=True)
     trk = MonocularTracker(K, (320, 240), cfg)
     for f in frames[:warmup]:  # compiles all per-frame programs
         trk.track(f)
@@ -198,9 +198,11 @@ def bench_tracker(np, n_frames=36, warmup=12):
     trk.track(frames[2])
     trk.track(frames[warmup - 1])
     trk.track(frames[warmup - 1])
+    trk.flush()
     t0 = time.perf_counter()
     for f in frames[warmup:]:
         trk.track(f)
+    trk.flush()
     dt = (time.perf_counter() - t0) / (n_frames - warmup)
     n_tracked = sum(1 for fid, T in trk.trajectory
                     if T is not None and fid < n_frames)
@@ -223,13 +225,14 @@ def bench_tracker_ref_cfg(np, n_frames=14, warmup=6):
     frames = [np.clip(scene.render(poses[i], K, wh=wh), 0, 255)
               .astype(np.uint8) for i in range(n_frames)]
     cfg = TrackerConfig(n_features=3000, n_levels=8, max_kf=48, max_mp=16384,
-                        min_init_kps=80, min_init_matches=80)
+                        min_init_kps=80, min_init_matches=80, pipeline=True)
     trk = MonocularTracker(K, wh, cfg)
     times = []
     for i, f in enumerate(frames):
         t0 = time.perf_counter()
         trk.track(f)
         times.append(time.perf_counter() - t0)
+    trk.flush()
     ts = np.asarray(times[warmup:])
     if len(ts) == 0:
         return None

@@ -167,7 +167,7 @@ def make_schur_pairs(obs_pt, obs_valid, bucket=True):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_iters", "n_kf", "n_pt")
+    jax.jit, static_argnames=("num_iters", "n_kf", "n_pt", "schur_window")
 )
 def local_ba_points(
     kf_tcw,        # (Kf, 4, 4)
@@ -188,6 +188,7 @@ def local_ba_points(
     num_iters: int = 5,
     n_kf: int = 0,
     n_pt: int = 0,
+    schur_window: int = 0,
 ):
     """Joint camera-point BA: monocular reprojection edges, plus an
     optional per-edge DEPTH residual row (z_pred - z_meas) * z_si — the
@@ -209,6 +210,21 @@ def local_ba_points(
     kf_free = (~kf_fixed) & jnp.ones((Kf,), dtype=bool)
     cam_mask = kf_free.astype(jnp.float32)  # (Kf,)
     pt_mask = pt_valid.astype(jnp.float32)
+
+    # DEVICE-side sparse-pair schedule (schur_window > 0): sort edges by
+    # point id once (loop-invariant) and pair each edge with the next
+    # schur_window-1 edges of the same point. Exact when no point has more
+    # than schur_window observations (in a BA problem each point is
+    # observed at most once per keyframe, so schur_window = Kf is exact).
+    # Replaces the host pair list of make_schur_pairs: no O(obs^2) host
+    # loop, no pair upload, and ONE compiled shape per (E, Kf, P) combo
+    # instead of one per pair-count bucket.
+    if schur_window > 0 and pair_e1 is None:
+        _sort_key = jnp.where(obs_valid, obs_pt, P)
+        sched_order = jnp.argsort(_sort_key)
+        sched_pt = _sort_key[sched_order]
+    else:
+        sched_order = sched_pt = None
 
     def edge_residual(Tcw, pt, uv, si, z, z_si):
         uv_p, z_p = _project(Tcw, K, pt)
@@ -273,7 +289,41 @@ def local_ba_points(
         Hpp_d = Hpp + (lam + 1e-6) * eye3 + (1.0 - pt_mask)[:, None, None] * eye3
         Hpp_inv = jnp.linalg.inv(Hpp_d) * pt_mask[:, None, None]
 
-        if pair_e1 is not None:
+        if sched_order is not None:
+            # scan over window offsets d = 0..W-1: at offset d, edge
+            # sched_order[i] pairs with sched_order[i+d] when both observe
+            # the same point. Off-diagonal contributions (d > 0) scatter
+            # into BOTH (k1, k2) and (k2, k1); memory stays O(E * 36) per
+            # step instead of O(Q * 36) for a materialized pair list.
+            Hinv_e = Hpp_inv[obs_pt[sched_order]]           # (E, 3, 3)
+            WH = W_blocks[sched_order] @ Hinv_e             # (E, 6, 3)
+            k1 = obs_kf[sched_order]
+            idxs = jnp.arange(E)
+
+            def scan_d(S_acc, d):
+                j = jnp.clip(idxs + d, 0, E - 1)
+                same = (sched_pt == sched_pt[j]) & (sched_pt < P) \
+                    & (idxs + d < E)
+                e2 = sched_order[j]
+                contrib = (WH @ jnp.swapaxes(W_blocks[e2], -1, -2)
+                           ) * same[:, None, None]           # (E, 6, 6)
+                k2 = obs_kf[e2]
+                S_acc = S_acc + jax.ops.segment_sum(
+                    contrib, k1 * Kf + k2, num_segments=Kf * Kf)
+                swapped = jnp.swapaxes(contrib, -1, -2) * (d > 0)
+                S_acc = S_acc + jax.ops.segment_sum(
+                    swapped, k2 * Kf + k1, num_segments=Kf * Kf)
+                return S_acc, None
+
+            S_flat = jnp.zeros((Kf * Kf, 6, 6))
+            S_flat, _ = lax.scan(scan_d, S_flat,
+                                 jnp.arange(schur_window))
+            S_off = S_flat.reshape(Kf, Kf, 6, 6)
+            ypt = jnp.einsum("pij,pj->pi", Hpp_inv, bp)     # (P, 3)
+            z_e = jnp.einsum("eij,ej->ei", W_blocks, ypt[obs_pt])
+            Wy = jax.ops.segment_sum(z_e, obs_kf, num_segments=Kf)
+            rhs = -(bc - Wy)
+        elif pair_e1 is not None:
             # SPARSE reduced-camera assembly over edge pairs sharing a
             # point: S_off[k1,k2] = sum_pairs W_e1 Hpp^-1 W_e2^T. Memory is
             # O(pairs * 36) instead of the O(Kf * P * 18) dense W grid

@@ -825,8 +825,8 @@ class DynamicRgbdTracker:
                     mask[d.mask] = 1.0
                 return jnp.asarray(mask), True
 
-            def _create_keyframe(self, feats):
-                super()._create_keyframe(feats)
+            def _create_keyframe(self, feats, fid=None):
+                super()._create_keyframe(feats, fid=fid)
                 k = self.ref_kf
                 outer.dynamic.on_keyframe(
                     self.map, k, outer._pending_dyn,

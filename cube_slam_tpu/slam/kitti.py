@@ -309,10 +309,27 @@ class KittiMonoTracker(ObjectSlamTracker):
             ratios.extend((d_metric[ok] / z_est[ok]).tolist())
         if len(ratios) < min_points:
             return
-        scale = float(np.median(ratios))
+        # The axis-aligned 2D box over-covers the cuboid silhouette, so
+        # BACKGROUND points leak into the sample; they sit behind the
+        # cuboid, i.e. their depth ratio is systematically SMALLER. A plain
+        # median flips to the background cluster whenever it outnumbers the
+        # on-object points (which destabilizes the whole run: a wrong map
+        # scale also rescales the motion model). Instead take the densest
+        # mutually-consistent cluster of log-ratios, breaking near-ties
+        # toward the NEAREST surface — nothing on the object can read
+        # deeper than the object.
+        logs = np.log(np.asarray(ratios, dtype=np.float64))
+        win = np.log(1.25)
+        counts = (np.abs(logs[None, :] - logs[:, None]) <= win).sum(axis=1)
+        center = float(logs[counts >= counts.max() - 1].max())
+        cluster = logs[np.abs(logs - center) <= win]
+        if len(cluster) < min_points:
+            return
+        scale = float(np.exp(np.median(cluster)))
         if not (0.02 < scale < 50.0):
             return
         GroundScaleEstimator.apply_scale(m, k, scale)
+        self._rescale_traj_rel(scale)
         self.last_Tcw = m.kf_tcw[k].copy()
         # the motion model's translation lives in map units (Tracking.cc
         # rescales mVelocity the same way, :2640-2646)
@@ -323,8 +340,8 @@ class KittiMonoTracker(ObjectSlamTracker):
             logger.info("object-depth scale anchor: x%.3f", scale)
 
     # ------------------------------------------------------------------
-    def _create_keyframe(self, feats):
-        MonocularTracker._create_keyframe(self, feats)
+    def _create_keyframe(self, feats, fid=None):
+        MonocularTracker._create_keyframe(self, feats, fid=fid)
         k = self.ref_kf
         # re-anchor scale at each keyframe with a visible object (no-op
         # once the map is metric)
@@ -374,6 +391,7 @@ class KittiMonoTracker(ObjectSlamTracker):
                                     seed=self.frame_id)
         if s is not None and 0.5 < s < 2.0:
             GroundScaleEstimator.apply_scale(self.map, k, s)
+            self._rescale_traj_rel(s)
             self.last_Tcw = self.map.kf_tcw[k].copy()
             self.velocity[:3, 3] *= s
             self.n_scale_recoveries += 1

@@ -72,6 +72,11 @@ class TrackerConfig:
     loop_min_gap_kfs: int = 10
     loop_covis_theta: int = 30
     loop_global_ba: bool = True
+    # software-pipelined tracking: dispatch frame N without blocking on its
+    # result; host logic for frame N-1 overlaps the tunnel round trip +
+    # device compute. track() then returns the PREVIOUS frame's pose (call
+    # flush() at end of run). ~3x frame throughput on tunneled TPUs.
+    pipeline: bool = False
 
 
 import functools
@@ -82,27 +87,26 @@ from jax import lax
 from ..utils import hostpack
 
 
-@functools.partial(jax.jit, static_argnames=("E", "KF", "PT", "Q",
-                                             "num_iters"))
-def _local_ba_packed(buf, K, E, KF, PT, Q, num_iters):
+@functools.partial(jax.jit, static_argnames=("E", "KF", "PT", "num_iters"))
+def _local_ba_packed(buf, K, E, KF, PT, num_iters):
     """local_ba_points with ONE packed upload and ONE packed download
     (the KF-step's dozen per-array transfers each cost a tunnel round
-    trip — see utils/hostpack). Q edge-pair entries drive the SPARSE
-    reduced-camera assembly (ba.make_schur_pairs)."""
+    trip — see utils/hostpack). The SPARSE reduced-camera assembly pairs
+    edges ON DEVICE (schur_window=KF is exact: a point is observed at
+    most once per keyframe), so no pair list travels through the tunnel
+    and the compile shape depends only on (E, KF, PT)."""
     specs = [((KF, 4, 4), jnp.float32), ((PT, 3), jnp.float32),
              ((E,), jnp.int32), ((E,), jnp.int32), ((E, 2), jnp.float32),
              ((E,), jnp.float32), ((E,), jnp.bool_),
              ((KF,), jnp.bool_), ((PT,), jnp.bool_),
-             ((E,), jnp.float32), ((E,), jnp.float32),
-             ((Q,), jnp.int32), ((Q,), jnp.int32)]
+             ((E,), jnp.float32), ((E,), jnp.float32)]
     (kf_tcw, pts, obs_kf, obs_pt, obs_uv, obs_si, obs_valid,
-     kf_fixed, pt_valid, obs_z, obs_z_si, pair_e1, pair_e2) = \
+     kf_fixed, pt_valid, obs_z, obs_z_si) = \
         hostpack.unpack_device(buf, specs)
     out_tcw, out_pts, _cost, inl = ba.local_ba_points(
         kf_tcw, pts, K, obs_kf, obs_pt, obs_uv, obs_si, obs_valid,
         kf_fixed, pt_valid, obs_z=obs_z, obs_z_si=obs_z_si,
-        pair_e1=pair_e1, pair_e2=pair_e2,
-        num_iters=num_iters)
+        schur_window=KF, num_iters=num_iters)
     return jnp.concatenate([out_tcw.reshape(-1), out_pts.reshape(-1),
                             inl.astype(jnp.float32)])
 
@@ -274,6 +278,8 @@ class MonocularTracker:
         # device-resident tracker state for the fast path: (last_Tcw,
         # velocity, last kp->mp table); None = re-seed from host next frame
         self._dev_state = None
+        # in-flight dispatched frame (cfg.pipeline mode)
+        self._pending = None
         self._sup_dummy = None
         # optional structured per-frame metrics (utils/metrics.MetricsRecorder)
         self.metrics = None
@@ -299,9 +305,23 @@ class MonocularTracker:
 
     def track(self, gray):
         """Process one frame; returns Tcw (4, 4) or None while initializing
-        or lost."""
+        or lost.
+
+        With `cfg.pipeline=True` the per-frame device program is dispatched
+        WITHOUT blocking on its result: frame N's program runs (and its
+        result rides back through the tunnel) while the host handles frame
+        N-1's outcome — the software-pipelined analog of the reference's
+        tracking/mapping thread overlap (System.cc:104-117). The returned
+        pose then belongs to the PREVIOUS frame (None while the pipeline
+        fills); `trajectory` still records every frame under its own id,
+        and `flush()` resolves the final in-flight frame at end of run."""
         t0 = time.perf_counter()
-        out = self._track_one(gray)
+        if self.cfg.pipeline and self.state == "OK":
+            out = self._track_pipelined(gray)
+        else:
+            if self._pending is not None:
+                self._resolve_pending()
+            out = self._track_one(gray)
         if self.metrics is not None:
             self.metrics.add(
                 frame_id=self.frame_id, state=self.state,
@@ -313,45 +333,55 @@ class MonocularTracker:
             )
         return out
 
+    def flush(self):
+        """Resolve the in-flight frame (pipelined mode); returns its pose
+        or None. No-op in synchronous mode."""
+        if self._pending is None:
+            return None
+        return self._resolve_pending()
+
+    def _resolve_pending(self):
+        p, self._pending = self._pending, None
+        return self._resolve(p)
+
+    def _track_pipelined(self, gray):
+        self.frame_id += 1
+        fid = self.frame_id
+        # chain broken at the last resolve (keyframe / rescue / reset):
+        # resolve the in-flight frame FIRST so the host re-seed below sees
+        # its pose and associations
+        resolved_pose = None
+        resolved = False
+        if self._pending is not None and self._dev_state is None:
+            resolved_pose = self._resolve_pending()
+            resolved = True
+        if self.state == "NOT_INITIALIZED":
+            # a resolve above may have reset the system
+            return self._init_step(fid, gray)
+        prev = self._pending
+        self._pending = self._dispatch_frame(fid, gray)
+        if prev is not None:
+            return self._resolve(prev)
+        return resolved_pose if resolved else None
+
     def _track_one(self, gray):
         self.frame_id += 1
-
         if self.state == "NOT_INITIALIZED":
-            feats = self._extract(gray)
-            ok = self._try_initialize(feats)
-            if ok:
-                self.state = "OK"
-                self._bump_map()
-                self.trajectory.append((self.frame_id, self.last_Tcw.copy()))
-                self._record_pose(self.last_Tcw)
-                return self.last_Tcw.copy()
-            self.trajectory.append((self.frame_id, None))
-            return None
+            return self._init_step(self.frame_id, gray)
+        p = self._dispatch_frame(self.frame_id, gray)
+        return self._resolve(p)
 
-        feats, ok = self._track_fast(gray)
-        if not ok:
-            self.state = "LOST"
-            self.trajectory.append((self.frame_id, None))
-            # lost soon after initialization: the young map is unreliable —
-            # wipe it and re-initialize (Tracking.cc:1017-1024)
-            if len(self.map.kf_ids()) <= 5:
-                logger.warning("tracking lost with only %d keyframes; "
-                               "resetting", len(self.map.kf_ids()))
-                self.reset()
-            return None
-        self.state = "OK"
-        self.trajectory.append((self.frame_id, self.last_Tcw.copy()))
-        self._record_pose(self.last_Tcw)
-        if self._need_new_keyframe():
-            self._create_keyframe(feats)
-            # the keyframe step adds triangulated/fused associations to the
-            # new reference KF = this frame; carry them into the next
-            # frame's motion-model candidates
-            if self.ref_kf >= 0:
-                feats.mp = self.map.kf_kp_mp[self.ref_kf].copy()
+    def _init_step(self, fid, gray):
+        feats = self._extract(gray)
+        ok = self._try_initialize(feats)
+        if ok:
+            self.state = "OK"
             self._bump_map()
-        self.last_frame = feats
-        return self.last_Tcw.copy()
+            self.trajectory.append((fid, self.last_Tcw.copy()))
+            self._record_pose(self.last_Tcw, fid=fid)
+            return self.last_Tcw.copy()
+        self.trajectory.append((fid, None))
+        return None
 
     # ------------------------------------------------------------------
     # initialization (MonocularInitialization, Tracking.cc:931-1006)
@@ -461,14 +491,14 @@ class MonocularTracker:
             self._sup_dummy = jnp.zeros((1, 1), dtype=jnp.float32)
         return self._sup_dummy, False
 
-    def _track_fast(self, gray):
-        """The per-frame happy path: ONE gray upload, ONE fused device
-        program (extraction + motion tracking + local-map search + pose
-        optimization + state/counter updates), ONE small download. Falls
-        back to the host rescue paths (PnP / reference-KF / relocalization)
-        when the fused track reports too few inliers.
-
-        Returns (feats, ok)."""
+    def _dispatch_frame(self, fid, gray):
+        """Dispatch the per-frame happy path: ONE gray upload, ONE fused
+        device program (extraction + motion tracking + local-map search +
+        pose optimization + state/counter updates). Returns a pending
+        record; no host<->device round trip happens here — the device
+        state/counter chain advances through FUTURES (the program gates its
+        own state update on the success flag, so chaining an eventually-
+        failed frame is safe)."""
         cfg = self.cfg
         m = self.map
         dev = self._mirror.get(m, self._map_version)
@@ -489,34 +519,76 @@ class MonocularTracker:
             min_track=int(cfg.min_inliers_track),
             min_local=int(cfg.min_inliers_local),
         )
-        small_h = np.array(small)  # the ONE per-frame download
+        self._dev_state = new_state
+        self._mirror.set_counters(*counters)
+        try:
+            small.copy_to_host_async()
+        except Exception:
+            pass
+        return dict(fid=fid, small=small, new_state=new_state, fdev=fdev,
+                    rescue=rescue)
+
+    def _resolve(self, p):
+        """Resolve a dispatched frame: download the small result vector,
+        update host pose state, run rescue paths on failure, and apply the
+        trajectory / keyframe / mapping logic (Tracking::Track's epilogue,
+        Tracking.cc:560-780)."""
+        fid = p["fid"]
+        small_h = np.array(p["small"])
         Tcw_f = small_h[:16].reshape(4, 4).astype(np.float32)
         n_in = int(small_h[16])
         n_in2 = int(small_h[17])
         ok = small_h[18] > 0.5
         self._last_track_stats = (n_in, n_in2, int(small_h[19]))
-        feats = FrameFeatures(dev=dict(fdev), n_kp=self._n_kp_total())
-        self._mirror.set_counters(*counters)
+        feats = FrameFeatures(dev=dict(p["fdev"]), n_kp=self._n_kp_total())
 
         if ok:
-            self._dev_state = new_state
-            feats.set_mp_dev(new_state[2])
+            feats.set_mp_dev(p["new_state"][2])
             self.velocity = (
                 Tcw_f.astype(np.float64)
                 @ np_geo.inv_T(self.last_Tcw.astype(np.float64))
             ).astype(np.float32)
             self.last_Tcw = Tcw_f
             self.tracked_inliers = n_in2
-            return feats, True
+        else:
+            # host rescue paths take over (they mutate host state, so the
+            # device state re-seeds at the next dispatch)
+            self._dev_state = None
+            ok = self._rescue(feats, p, n_in)
 
-        # failure: host rescue paths take over (they mutate host state, so
-        # the device state re-seeds next frame)
-        self._dev_state = None
+        if not ok:
+            self.state = "LOST"
+            self.trajectory.append((fid, None))
+            # lost soon after initialization: the young map is unreliable —
+            # wipe it and re-initialize (Tracking.cc:1017-1024)
+            if len(self.map.kf_ids()) <= 5:
+                logger.warning("tracking lost with only %d keyframes; "
+                               "resetting", len(self.map.kf_ids()))
+                self.reset()
+            return None
+        self.state = "OK"
+        self.trajectory.append((fid, self.last_Tcw.copy()))
+        self._record_pose(self.last_Tcw, fid=fid)
+        if self._need_new_keyframe(fid):
+            self._create_keyframe(feats, fid=fid)
+            # the keyframe step adds triangulated/fused associations to the
+            # new reference KF = this frame; carry them into the next
+            # frame's motion-model candidates
+            if self.ref_kf >= 0:
+                feats.mp = self.map.kf_kp_mp[self.ref_kf].copy()
+            self._bump_map()
+        self.last_frame = feats
+        return self.last_Tcw.copy()
+
+    def _rescue(self, feats, p, n_in):
+        """Failure chain: PnP on the raw motion-stage matches, reference-KF
+        match, relocalization. Returns True when tracking recovered."""
+        cfg = self.cfg
         if n_in >= cfg.min_inliers_track:
             # motion stage fine but local-map stage too weak -> lost
-            return feats, False
+            return False
         Tcw_pred = self.velocity @ self.last_Tcw
-        cand_ids_d, raw_d = rescue
+        cand_ids_d, raw_d = p["rescue"]
         cand = np.array(cand_ids_d).astype(np.int64)
         # wide-baseline rescue: PnP-RANSAC on the raw window matches
         # (plain pose LM cannot absorb large inter-frame motion; the
@@ -524,17 +596,17 @@ class MonocularTracker:
         ok_pnp, Tcw_p, mp_to_kp_p, n_p = self._pnp_on_matches(
             feats, cand, np.array(raw_d))
         if ok_pnp and n_p >= cfg.min_inliers_track:
-            return feats, self._track_local_after_rescue(
+            return self._track_local_after_rescue(
                 feats, Tcw_p, mp_to_kp_p, cand)
         # TrackReferenceKeyFrame analog (Tracking.cc:1160): global
         # descriptor match against the reference KF's map points
         ok_ref, Tcw_r, mp_to_kp_r, cand_r, n_r = self._track_reference_kf(
             feats, Tcw_pred)
         if ok_ref:
-            return feats, self._track_local_after_rescue(
+            return self._track_local_after_rescue(
                 feats, Tcw_r, mp_to_kp_r, cand_r)
         # relocalization (Tracking::Relocalization, :2876)
-        return feats, self._relocalize(feats)
+        return self._relocalize(feats)
 
     def _finish_tracked_frame(self, feats, Tcw_f, visible, n_in2):
         """Common epilogue: culling stats + motion model update."""
@@ -739,9 +811,10 @@ class MonocularTracker:
     # ------------------------------------------------------------------
     # keyframe policy + local mapping (inline)
     # ------------------------------------------------------------------
-    def _need_new_keyframe(self):
+    def _need_new_keyframe(self, fid=None):
         cfg = self.cfg
-        since = self.frame_id - self.last_kf_frame_id
+        fid = self.frame_id if fid is None else fid
+        since = fid - self.last_kf_frame_id
         if since < 1:
             return False
         ref_tracked = int((self.map.kf_kp_mp[self.ref_kf] >= 0).sum()) if self.ref_kf >= 0 else 0
@@ -764,6 +837,11 @@ class MonocularTracker:
 
         logger.warning("system reset: clearing map (%d KFs, %d points)",
                        len(self.map.kf_ids()), int(self.map.mp_valid.sum()))
+        if self._pending is not None:
+            # an in-flight frame was dispatched against the map being wiped;
+            # record it as untracked rather than resolving it
+            self.trajectory.append((self._pending["fid"], None))
+            self._pending = None
         self.map.clear()
         self.state = "NOT_INITIALIZED"
         self.init_frame = None
@@ -824,22 +902,43 @@ class MonocularTracker:
         m.kf_kp_mp[k] = -1
         return k
 
-    def _create_keyframe(self, feats):
+    def _create_keyframe(self, feats, fid=None):
         cfg = self.cfg
-        # fold device visibility/found deltas into the host arrays BEFORE
-        # culling reads the ratios or slot recycling invalidates the deltas
+        fid = self.frame_id if fid is None else fid
+        # overlap the two host-bound downloads the step needs up front:
+        # the counter deltas (folded BEFORE culling reads the ratios or
+        # slot recycling invalidates them) and the frame's packed features
+        if feats.dev is not None and "packed" in feats.dev:
+            try:
+                feats.dev["packed"].copy_to_host_async()
+            except Exception:
+                pass
         self._mirror.sync_counters(self.map)
-        k = self._insert_keyframe_raw(feats, self.last_Tcw, self.frame_id)
+        k = self._insert_keyframe_raw(feats, self.last_Tcw, fid)
         self.map.kf_kp_mp[k, : len(feats.mp)] = feats.mp
         obs = feats.mp >= 0
         self.map.mp_nobs[feats.mp[obs]] += 1
         self.ref_kf = k
-        self.last_kf_frame_id = self.frame_id
+        self.last_kf_frame_id = fid
 
         # --- local mapping inline (RunMappingIteration)
         self._cull_map_points(k)
-        self._triangulate_new(k)
-        self._fuse_neighbors(k)
+        # dispatch triangulation + neighbor fusion TOGETHER, then block on
+        # both results at once: one overlapped tunnel round trip instead of
+        # two sequential ones. Fusion therefore projects the PRE-
+        # triangulation candidate set — equivalent, because points
+        # triangulated at this keyframe are created with both observations
+        # already attached (SearchInNeighbors would find nothing new).
+        tri = self._triangulate_new_dispatch(k)
+        fuse = self._fuse_neighbors_dispatch(k)
+        for pend in (tri, fuse):
+            if pend is not None:
+                try:
+                    pend[0].copy_to_host_async()
+                except Exception:
+                    pass
+        self._triangulate_new_apply(k, tri)
+        self._fuse_neighbors_apply(k, fuse)
         counts = self.map.covisibility_counts(k)
         order = np.argsort(-counts)
         local = [k] + [int(i) for i in order[: cfg.local_ba_kfs - 1] if counts[i] >= 15]
@@ -946,6 +1045,14 @@ class MonocularTracker:
             m.erase_mp(np.where(bad)[0])
 
     def _triangulate_new(self, k):
+        """Synchronous wrapper (initialization path); the keyframe step
+        uses the dispatch/apply halves to overlap the download with the
+        neighbor-fusion program's."""
+        pend = self._triangulate_new_dispatch(k)
+        self._triangulate_new_apply(k, pend)
+        self._refresh_mp_geometry(self.map.mp_ids())
+
+    def _triangulate_new_dispatch(self, k):
         cfg = self.cfg
         m = self.map
         counts = m.covisibility_counts(k)
@@ -955,8 +1062,7 @@ class MonocularTracker:
         neighbors = [nb for nb in neighbors
                      if (m.kf_kp_valid[nb] & (m.kf_kp_mp[nb] < 0)).sum() >= 5]
         if not neighbors or free_k.sum() < 5:
-            self._refresh_mp_geometry(m.mp_ids())
-            return
+            return None
 
         # ONE batched program for all neighbor baselines (padded to the
         # config's neighbor count so the compile is reused); per-neighbor
@@ -982,8 +1088,17 @@ class MonocularTracker:
             m.kf_kp_level[k], free_k,
             stack(m.kf_kp_xy), stack(m.kf_kp_desc), stack(m.kf_kp_level),
             free_nb])
-        out = np.array(_triangulate_packed(jnp.asarray(buf), self._K_dev,
-                                           NB=NB, N=N))
+        dev_out = _triangulate_packed(jnp.asarray(buf), self._K_dev,
+                                      NB=NB, N=N)
+        return dev_out, neighbors, NB, N
+
+    def _triangulate_new_apply(self, k, pend):
+        if pend is None:
+            return
+        dev_out, neighbors, NB, N = pend
+        m = self.map
+        free_k = m.kf_kp_valid[k] & (m.kf_kp_mp[k] < 0)
+        out = np.array(dev_out)
         o1 = NB * N * 3
         o2 = o1 + NB * N
         X_s = out[:o1].reshape(NB, N, 3)
@@ -1011,9 +1126,12 @@ class MonocularTracker:
             m.kf_kp_mp[k, sel] = ids
             m.kf_kp_mp[nb, m12_s[i, sel]] = ids
             free_k = m.kf_kp_valid[k] & (m.kf_kp_mp[k] < 0)
-        self._refresh_mp_geometry(m.mp_ids())
 
     def _fuse_neighbors(self, k, n_neighbors=2):
+        pend = self._fuse_neighbors_dispatch(k, n_neighbors)
+        self._fuse_neighbors_apply(k, pend)
+
+    def _fuse_neighbors_dispatch(self, k, n_neighbors=2):
         """SearchInNeighbors (LocalMapping.cc:655-831): project this KF's map
         points into covisible neighbors; unmatched keypoints gain an
         observation, conflicting associations merge into the better point."""
@@ -1024,7 +1142,7 @@ class MonocularTracker:
         ids = np.unique(my_mp[my_mp >= 0])
         ids = ids[m.mp_valid[ids]]
         if len(ids) == 0:
-            return
+            return None
         M = 1024
         cand = np.zeros(M, dtype=np.int64)
         mvalid = np.zeros(M, dtype=bool)
@@ -1032,7 +1150,7 @@ class MonocularTracker:
         cand[:take] = ids[:take]
         mvalid[:take] = True
         if not order:
-            return
+            return None
         # pad to a fixed neighbor count so the batched program's compile is
         # reused; padded slots project with an identity pose but carry
         # all-False keypoint validity -> no matches
@@ -1049,9 +1167,17 @@ class MonocularTracker:
             np.stack([m.kf_kp_desc[nb] for nb in nbs]),
             np.stack([m.kf_kp_level[nb] for nb in nbs]),
             pad_valid])
-        mp_to_kp_s = np.array(_fuse_packed(
+        dev_out = _fuse_packed(
             jnp.asarray(buf), self._K_dev, self._img_wh_dev,
-            NN=NN, M=M, N=m.n_kp))
+            NN=NN, M=M, N=m.n_kp)
+        return dev_out, order, cand
+
+    def _fuse_neighbors_apply(self, k, pend):
+        if pend is None:
+            return
+        dev_out, order, cand = pend
+        m = self.map
+        mp_to_kp_s = np.array(dev_out)
         for i, nb in enumerate(order):
             mp_to_kp = mp_to_kp_s[i]
             sel = np.where(mp_to_kp >= 0)[0]
@@ -1143,11 +1269,11 @@ class MonocularTracker:
         kf_idx, kp_idx, mp_idx = m.observations_of(mp_set)
         keep = np.isin(kf_idx, kfs)
         kf_idx, kp_idx, mp_idx = kf_idx[keep], kp_idx[keep], mp_idx[keep]
-        # bucket the edge capacity to the actual count (pow2, floor 1024):
-        # the padded tail costs real upload bandwidth + FLOPs every KF, and
-        # the handful of bucketed compiles are cached
-        E = min(cfg.max_obs_edges,
-                max(1024, 1 << int(np.ceil(np.log2(max(len(kf_idx), 1))))))
+        # ONE edge capacity (no buckets): every distinct shape is a separate
+        # multi-second XLA compile that would spike mid-run the first time a
+        # growing map crosses a bucket boundary; the padded tail costs only
+        # ~0.25 MB of upload (~5 ms through the tunnel) and masked FLOPs
+        E = cfg.max_obs_edges
         n_e = min(len(kf_idx), E)
         if len(kf_idx) > E:
             logger.warning("local BA: clipping %d -> %d observation edges",
@@ -1197,13 +1323,12 @@ class MonocularTracker:
         pt_valid[:npt] = True
         obs_valid &= (obs_kf < nk) & (obs_pt < npt)
 
-        pair_e1, pair_e2 = ba.make_schur_pairs(obs_pt, obs_valid)
         buf = hostpack.pack_host([
             kf_tcw, pts, obs_kf, obs_pt, obs_uv, obs_si, obs_valid,
-            kf_fixed, pt_valid, obs_z, obs_z_si, pair_e1, pair_e2])
+            kf_fixed, pt_valid, obs_z, obs_z_si])
         out = np.array(_local_ba_packed(
             jnp.asarray(buf), self._K_dev, E=E, KF=KF_CAP, PT=PT_CAP,
-            Q=len(pair_e1), num_iters=cfg.local_ba_iters))
+            num_iters=cfg.local_ba_iters))
         o1 = KF_CAP * 16
         o2 = o1 + PT_CAP * 3
         out_tcw = out[:o1].reshape(KF_CAP, 4, 4)
@@ -1263,29 +1388,44 @@ class MonocularTracker:
                 removed += 1
         return removed
 
-    def _record_pose(self, Tcw):
+    def _record_pose(self, Tcw, fid=None):
         """Store the frame pose relative to the current reference keyframe
         (SaveTrajectoryTUM's mechanism: corrections applied to keyframes
         later — loop closing, scale recovery — propagate to every frame)."""
+        fid = self.frame_id if fid is None else fid
         if self.ref_kf >= 0 and self.map.kf_valid[self.ref_kf]:
             T_rel = np.asarray(Tcw, dtype=np.float64) @ np_geo.inv_T(
                 self.map.kf_tcw[self.ref_kf].astype(np.float64))
             self._traj_rel.append(
-                (self.frame_id, int(self.ref_kf),
+                (fid, int(self.ref_kf),
                  int(self.map.kf_frame_id[self.ref_kf]), T_rel))
         else:
-            self._traj_rel.append((self.frame_id, -1, -1,
+            self._traj_rel.append((fid, -1, -1,
                                    np.asarray(Tcw, dtype=np.float64)))
+
+    def _rescale_traj_rel(self, scale):
+        """A map rescale (object-depth anchor / ground-height recovery)
+        changes the length unit of every keyframe translation; the stored
+        frame-to-reference relative poses are in the same unit and must
+        follow, or recomposition mixes scales (the reference rescales
+        mlRelativeFramePoses identically, Tracking.cc:2644-2651)."""
+        for i, (fid, ref, ref_fid, T_rel) in enumerate(self._traj_rel):
+            if ref >= 0:
+                T = T_rel.copy()
+                T[:3, 3] *= scale
+                self._traj_rel[i] = (fid, ref, ref_fid, T)
 
     # ------------------------------------------------------------------
     def poses(self):
         """List of (frame_id, Tcw or None) for the whole run."""
+        self.flush()
         return self.trajectory
 
     def final_trajectory(self):
         """(frame_id, Tcw or None) RECOMPOSED through the current keyframe
         poses — reflects loop closures and scale recoveries applied after
         the frame was tracked (System::SaveTrajectoryTUM, System.cc:301)."""
+        self.flush()
         by_fid = {}
         for fid, ref, ref_fid, T_rel in self._traj_rel:
             if (ref >= 0 and self.map.kf_valid[ref]
@@ -1390,8 +1530,8 @@ class RgbdTracker(MonocularTracker):
         self.last_frame = feats
         return True
 
-    def _create_keyframe(self, feats):
-        super()._create_keyframe(feats)
+    def _create_keyframe(self, feats, fid=None):
+        super()._create_keyframe(feats, fid=fid)
         # add depth-backed points for still-unmatched keypoints
         if self._pending_depth is None:
             return
@@ -1536,11 +1676,12 @@ class ObjectSlamTracker(MonocularTracker):
         from .ground import GroundScaleEstimator
 
         GroundScaleEstimator.apply_scale(m, k, scale)
+        self._rescale_traj_rel(scale)
         self.last_Tcw = m.kf_tcw[k].copy()
         self.mono_scale_initialized = True
 
-    def _create_keyframe(self, feats):
-        super()._create_keyframe(feats)
+    def _create_keyframe(self, feats, fid=None):
+        super()._create_keyframe(feats, fid=fid)
         k = self.ref_kf
         gray, bboxes_2d, lines = self._pending_obs or (None, None, None)
         if bboxes_2d is None or lines is None or len(bboxes_2d) == 0:
