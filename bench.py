@@ -158,16 +158,24 @@ def bench_schur_ba(jax, jnp, np, n_kf=16, n_pt=2048, n_edge=8192, iters=5):
             jnp.asarray(obs_kf), jnp.asarray(obs_pt), jnp.asarray(obs_uv),
             jnp.asarray(si), jnp.asarray(valid), jnp.asarray(kf_fixed),
             jnp.asarray(pt_valid))
-    # device-side sparse pair schedule (what the runtime's keyframe step
-    # uses): schur_window = n_kf is exact (<=1 obs per point per KF)
-    kw = dict(num_iters=iters, n_kf=n_kf, n_pt=n_pt, schur_window=n_kf)
+    # dense matmul-shaped reduced-camera assembly (what the runtime's
+    # keyframe step and global BA use)
+    kw = dict(num_iters=iters, n_kf=n_kf, n_pt=n_pt)
     compiled, flops = _aot(ba.local_ba_points, *args, **kw)
     jax.block_until_ready(compiled(*args))
-    n = 10
+    # CHAINED timing: feed each solve's outputs back as the next inputs so
+    # the device executes the n solves back-to-back — measures kernel
+    # throughput, not the host<->device tunnel round trip (~45 ms here,
+    # which would swamp the kernel). NB: materialize to host at the end —
+    # through the tunneled device, block_until_ready alone can return
+    # before the queued programs actually finish.
+    n = 20
+    tcw, pts_c = args[0], args[1]
     t0 = time.perf_counter()
     for _ in range(n):
-        out = compiled(*args)
-    jax.block_until_ready(out)
+        out = compiled(tcw, pts_c, *args[2:])
+        tcw, pts_c = out[0], out[1]
+    np.asarray(out[0])
     dt = (time.perf_counter() - t0) / n
     mfu = flops / max(dt, 1e-12) / PEAK_FLOPS
     return dt, iters / dt, mfu

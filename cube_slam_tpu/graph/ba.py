@@ -40,6 +40,28 @@ def _project(Tcw, K, pt):
     return uv, pc[2]
 
 
+def inv3_sym(A):
+    """Closed-form inverse of a batch of symmetric positive-definite 3x3
+    blocks (adjugate / determinant). Pure elementwise arithmetic that XLA
+    fuses into the surrounding assembly — the batched LU custom call
+    jnp.linalg.inv lowers to is the single most expensive op in the BA
+    program (~40% of device time at local-BA shapes)."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 1], A[..., 1, 2], A[..., 2, 2]
+    co_a = d * f - e * e
+    co_b = c * e - b * f
+    co_c = b * e - c * d
+    det = a * co_a + b * co_b + c * co_c
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1e-30)
+    co_d = a * f - c * c
+    co_e = b * c - a * e
+    co_f = a * d - b * b
+    row0 = jnp.stack([co_a, co_b, co_c], axis=-1)
+    row1 = jnp.stack([co_b, co_d, co_e], axis=-1)
+    row2 = jnp.stack([co_c, co_e, co_f], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2) * inv_det[..., None, None]
+
+
 def huber_weight(chi2, delta=HUBER_MONO):
     """sqrt of the IRLS weight for the Huber kernel."""
     e = jnp.sqrt(jnp.maximum(chi2, 1e-18))
@@ -248,23 +270,41 @@ def local_ba_points(
         return jnp.sum(rho * obs_valid)
 
     def edge_jacobians(kf_tcw, pts):
-        """Per-edge (r (2,), Jc (2,6), Jp (2,3)) at the zero local tangent."""
-
-        def local_r(dx, T, p, uv, si, z, z_si, w):
-            T2 = geo.se3_exp(dx[:6]) @ T
-            return edge_residual(T2, p + dx[6:], uv, si, z, z_si) * w
-
+        """Per-edge (r (3,), Jc (3,6), Jp (3,3)) at the zero local tangent,
+        in CLOSED FORM (the same pinhole+SE3 jacobian the reference's g2o
+        types hand-derive, types_six_dof_expmap.h): autodiff through
+        se3_exp costs 9 forward evaluations with per-edge transcendentals
+        every LM iteration, ~half the BA program's device time."""
         T_e = kf_tcw[obs_kf]
         p_e = pts[obs_pt]
         r, chi2 = all_residuals(kf_tcw, pts)
         # IRLS weight frozen at current iterate (see pose_optimization)
         w = lax.stop_gradient(huber_weight(chi2)) * obs_valid
-        J = jax.vmap(
-            lambda T, p, uv, si, z, z_si, ww: jax.jacfwd(
-                lambda dx: local_r(dx, T, p, uv, si, z, z_si, ww)
-            )(jnp.zeros(9))
-        )(T_e, p_e, obs_uv, obs_sqrt_info, obs_z, obs_z_si, w)  # (E, 3, 9)
-        return r, J[..., :6], J[..., 6:]
+
+        R = T_e[:, :3, :3]
+        pc = jnp.einsum("eij,ej->ei", R, p_e) + T_e[:, :3, 3]  # (E, 3)
+        x, y = pc[:, 0], pc[:, 1]
+        z = jnp.where(jnp.abs(pc[:, 2]) < 1e-9, 1e-9, pc[:, 2])
+        zi = 1.0 / z
+        zi2 = zi * zi
+        fx, fy = K[0, 0], K[1, 1]
+        O = jnp.zeros_like(zi)
+        I1 = jnp.ones_like(zi)
+        # d(weighted residual rows [u*si, v*si, z*z_si]) / d pc
+        J_pc = jnp.stack([
+            jnp.stack([fx * zi, O, -fx * x * zi2], -1) * obs_sqrt_info[:, None],
+            jnp.stack([O, fy * zi, -fy * y * zi2], -1) * obs_sqrt_info[:, None],
+            jnp.stack([O, O, I1], -1) * obs_z_si[:, None],
+        ], axis=-2) * w[:, None, None]                          # (E, 3, 3)
+        # left-multiplied tangent dx = (omega, rho): d pc / d dx = [-[pc]x | I]
+        neg_px = jnp.stack([
+            jnp.stack([O, pc[:, 2], -y], -1),
+            jnp.stack([-pc[:, 2], O, x], -1),
+            jnp.stack([y, -x, O], -1),
+        ], axis=-2)                                             # (E, 3, 3)
+        Jc = jnp.concatenate([J_pc @ neg_px, J_pc], axis=-1)    # (E, 3, 6)
+        Jp = J_pc @ R                                           # (E, 3, 3)
+        return r, Jc, Jp
 
     def lm_step(kf_tcw, pts, lam):
         r, Jc, Jp = edge_jacobians(kf_tcw, pts)
@@ -287,7 +327,7 @@ def local_ba_points(
         # damping + masks
         eye3 = jnp.eye(3)
         Hpp_d = Hpp + (lam + 1e-6) * eye3 + (1.0 - pt_mask)[:, None, None] * eye3
-        Hpp_inv = jnp.linalg.inv(Hpp_d) * pt_mask[:, None, None]
+        Hpp_inv = inv3_sym(Hpp_d) * pt_mask[:, None, None]
 
         if sched_order is not None:
             # scan over window offsets d = 0..W-1: at offset d, edge
@@ -344,13 +384,20 @@ def local_ba_points(
             Wy = jax.ops.segment_sum(z_e, obs_kf, num_segments=Kf)
             rhs = -(bc - Wy)
         else:
-            # dense (Kf, P) block grid of W (small problems)
+            # dense (Kf, P) block grid of W, contracted as ONE explicit
+            # (Kf*6, P*3) @ (P*3, Kf*6) matmul — the MXU-shaped form of the
+            # reduced-camera assembly. The W grid is Kf*P*18 floats (~85 MB
+            # at global-BA scale, trivial against 16 GB HBM) and the
+            # contraction is 2*(Kf*6)^2*(P*3) FLOPs of real matmul work,
+            # which beats any gather/scan-based sparse schedule on TPU.
             W = jax.ops.segment_sum(
                 W_blocks, obs_kf * P + obs_pt, num_segments=Kf * P
             ).reshape(Kf, P, 6, 3)
             Y = jnp.einsum("kpij,pjl->kpil", W, Hpp_inv)  # (Kf, P, 6, 3)
-            S_off = jnp.einsum("kpil,qpml->kqim", Y, W)  # (Kf, Kf, 6, 6)
-            rhs = -(bc - jnp.einsum("kpil,pl->ki", Y, bp))  # (Kf, 6)
+            Ym = Y.transpose(0, 2, 1, 3).reshape(Kf * 6, P * 3)
+            Wm = W.transpose(0, 2, 1, 3).reshape(Kf * 6, P * 3)
+            S_off = (Ym @ Wm.T).reshape(Kf, 6, Kf, 6).transpose(0, 2, 1, 3)
+            rhs = -(bc - (Ym @ bp.reshape(-1)).reshape(Kf, 6))
 
         S = -S_off
         S = S.at[jnp.arange(Kf), jnp.arange(Kf)].add(Hcc + lam * jnp.eye(6))

@@ -827,6 +827,9 @@ class DynamicRgbdTracker:
 
             def _create_keyframe(self, feats, fid=None):
                 super()._create_keyframe(feats, fid=fid)
+                # dynamic BA jointly optimizes window cameras — fold the
+                # in-flight static BA first so the two don't interleave
+                self._apply_pending_map()
                 k = self.ref_kf
                 outer.dynamic.on_keyframe(
                     self.map, k, outer._pending_dyn,

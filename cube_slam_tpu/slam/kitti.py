@@ -23,7 +23,8 @@ import numpy as np
 from ..utils import np_geometry as np_geo
 from .ground import GroundConfig, GroundScaleEstimator
 from .objects import ObjectManager
-from .system import MonocularTracker, ObjectSlamTracker, TrackerConfig
+from .system import (MonocularTracker, ObjectSlamTracker, StereoTracker,
+                     TrackerConfig)
 
 logger = logging.getLogger("cube_slam_tpu")
 
@@ -342,6 +343,9 @@ class KittiMonoTracker(ObjectSlamTracker):
     # ------------------------------------------------------------------
     def _create_keyframe(self, feats, fid=None):
         MonocularTracker._create_keyframe(self, feats, fid=fid)
+        # the anchor/ground rescale below rewrites every pose; a stale
+        # in-flight BA applied afterwards would restore pre-rescale units
+        self._apply_pending_map()
         k = self.ref_kf
         # re-anchor scale at each keyframe with a visible object (no-op
         # once the map is metric)
@@ -370,7 +374,8 @@ class KittiMonoTracker(ObjectSlamTracker):
             rows = self._rows_for(self.frame_id)
             dets = self.objects.ingest_offline(
                 self.map, k, rows, self.init_to_ground,
-                use_truth_trackid=self.use_truth_trackid)
+                use_truth_trackid=self.use_truth_trackid,
+                img_wh=self.img_wh)
             if self.use_truth_trackid:
                 self.objects.associate_by_tracklet(self.map, k, dets)
             else:
@@ -399,6 +404,85 @@ class KittiMonoTracker(ObjectSlamTracker):
                         self.n_scale_recoveries, s)
 
 
+class KittiStereoTracker(StereoTracker):
+    """Stereo KITTI tracker with the offline-cuboid object pipeline — the
+    Examples/Stereo/stereo_kitti.cc configuration: rectified left/right
+    pairs (metric scale from the baseline, so no mono scale anchor or
+    ground-scale recovery is needed) with per-frame offline cuboid txts
+    feeding object landmarks into the joint camera+point+object BA."""
+
+    def __init__(self, K, img_wh, baseline, offline_cuboids, init_to_ground,
+                 config: TrackerConfig | None = None, use_truth_trackid=True,
+                 car_prior=KITTI_CAR_PRIOR, camera_object_weight=1.0,
+                 depth_max=40.0):
+        StereoTracker.__init__(self, K, img_wh, baseline, config,
+                               depth_max=depth_max)
+        self.objects = ObjectManager(detector=None,
+                                     fixed_scale_prior=car_prior)
+        self.offline = offline_cuboids
+        self.init_to_ground = np.asarray(init_to_ground, dtype=np.float64)
+        self.use_truth_trackid = use_truth_trackid
+        self.camera_object_weight = camera_object_weight
+        self.car_prior = np.asarray(car_prior, dtype=np.float32)
+
+    _rows_for = KittiMonoTracker._rows_for
+    _object_ba = ObjectSlamTracker._object_ba
+
+    def reset(self):
+        StereoTracker.reset(self)
+        self.objects = ObjectManager(detector=None,
+                                     fixed_scale_prior=self.car_prior)
+
+    def _create_keyframe(self, feats, fid=None):
+        StereoTracker._create_keyframe(self, feats, fid=fid)
+        # the object pipeline reads AND writes camera/point state — fold
+        # the in-flight static BA first
+        self._apply_pending_map()
+        k = self.ref_kf
+        rows = self._rows_for(self.frame_id)
+        dets = self.objects.ingest_offline(
+            self.map, k, rows, self.init_to_ground,
+            use_truth_trackid=self.use_truth_trackid,
+            img_wh=self.img_wh)
+        if self.use_truth_trackid:
+            self.objects.associate_by_tracklet(self.map, k, dets)
+        else:
+            self.objects.associate(self.map, k, dets)
+        self.objects.cull(self.map)
+        if self.objects.store.valid.any():
+            self._object_ba(k)
+
+
+def run_kitti_stereo_sequence(seq, init_to_ground, baseline, config=None,
+                              max_frames=None, use_truth_trackid=True,
+                              output_prefix=None):
+    """Drive a stereo KittiSequence end-to-end (the stereo_kitti.cc main
+    loop: image_0/image_1 pairs) and optionally dump trajectories +
+    optimized cuboids."""
+    from ..utils import serialization as ser
+
+    n = seq.num_frames if max_frames is None else min(seq.num_frames, max_frames)
+    offline = seq.offline_cuboids(use_truth_trackid=use_truth_trackid)
+    first = seq.gray(0)
+    img_wh = (first.shape[1], first.shape[0])
+    tracker = KittiStereoTracker(
+        seq.K, img_wh, baseline, offline, init_to_ground, config=config,
+        use_truth_trackid=use_truth_trackid)
+    tracker.track(first, seq.gray_right(0))
+    for i in range(1, n):
+        tracker.track(seq.gray(i), seq.gray_right(i))
+    tracker.flush()
+    if output_prefix:
+        stamps = (seq.times[:n] if seq.times is not None
+                  else np.arange(n, dtype=np.float64))
+        poses = [T for _, T in tracker.final_trajectory()]
+        ser.save_trajectory_tum(output_prefix + "_tum.txt", stamps, poses)
+        ser.save_trajectory_kitti(output_prefix + "_kitti.txt", poses)
+        ser.save_cuboids_txt(output_prefix + "_cuboids.txt",
+                             tracker.objects.store)
+    return tracker
+
+
 def run_kitti_sequence(seq, init_to_ground, config=None, max_frames=None,
                        use_truth_trackid=True, output_prefix=None,
                        ground_cfg=None, dynamic=False):
@@ -419,6 +503,7 @@ def run_kitti_sequence(seq, init_to_ground, config=None, max_frames=None,
     tracker.track(first)
     for i in range(1, n):
         tracker.track(seq.gray(i))
+    tracker.flush()
     if output_prefix:
         stamps = (seq.times[:n] if seq.times is not None
                   else np.arange(n, dtype=np.float64))

@@ -40,6 +40,11 @@ class Detection:
     landmark: int = -1       # associated object id
     tracklet_id: int = -1    # ground-truth tracklet id (KITTI offline mode)
     age: int = -1            # ObjectManager kf-step counter at creation
+    at_border: bool = False  # 2D box clipped by the image border: the
+    # unclipped corner-projection bbox model is then WRONG (out-of-frame
+    # corners inflate it, biasing the object deep), so such measurements
+    # contribute no bbox edge (Tracking.cc:1600-1605, :1970 drops
+    # near-boundary boxes for the same reason)
 
 
 @dataclass
@@ -177,18 +182,24 @@ class ObjectManager:
                 & (kp_xy[:, 1] >= y) & (kp_xy[:, 1] <= y + h)
             )
             quality = max(0.1, min(1.0, (1.0 - p.normalized_error + 0.5) / 2.0))
+            H, W = np.asarray(gray).shape[:2]
+            th = 20
+            at_border = bool(x < th or y < th or x + w > W - th
+                             or y + h > H - th)
             det = Detection(
                 kf_id=kf_id, local_pose=local_pose,
                 scale=scale.astype(np.float32),
                 bbox=np.array([x + w / 2.0, y + h / 2.0, w, h], dtype=np.float32),
                 quality=float(quality), owned_kps=np.where(inside)[0],
+                at_border=at_border,
             )
             out.append(det)
         return out
 
     # ------------------------------------------------------------------
     def ingest_offline(self, map_state, kf_id, rows, init_to_ground,
-                       use_truth_trackid=False):
+                       use_truth_trackid=False, img_wh=None,
+                       border_threshold=20):
         """Offline per-frame cuboid txt rows -> camera-frame Detections
         (Tracking.cc:1553-1580 + measurement wrapping :1626-1694).
 
@@ -221,6 +232,12 @@ class ObjectManager:
                 & (kp_xy[:, 0] >= x) & (kp_xy[:, 0] <= x + w)
                 & (kp_xy[:, 1] >= y) & (kp_xy[:, 1] <= y + h)
             )
+            at_border = False
+            if img_wh is not None:
+                at_border = bool(
+                    x < border_threshold or y < border_threshold
+                    or x + w > img_wh[0] - border_threshold
+                    or y + h > img_wh[1] - border_threshold)
             det = Detection(
                 kf_id=kf_id, local_pose=local_pose,
                 scale=scale.astype(np.float32),
@@ -228,6 +245,7 @@ class ObjectManager:
                 quality=float(max(quality, 0.1)),
                 owned_kps=np.where(inside)[0],
                 tracklet_id=tid,
+                at_border=at_border,
             )
             out.append(det)
         return out
@@ -366,7 +384,8 @@ class ObjectManager:
 
     # ------------------------------------------------------------------
     def filter_and_recenter(self, map_state, coarse_factor=1.8,
-                            fine_factor=1.35, min_points_recenter=5):
+                            fine_factor=1.35, min_points_recenter=5,
+                            vol_factor=1.45):
         """Owned-point outlier filter + object re-centering pre-pass
         (Optimizer.cc:1180-1224): per object, two-round distance-to-mean
         filtering of its owned points; outliers lose their ownership vote,
@@ -379,7 +398,16 @@ class ObjectManager:
         background point inside the 2D box passes, and the recenter mean
         drags the object into the wall behind it), so the thresholds scale
         with the object's own half-diagonal — equal to the reference's
-        values at car scale, proportionally tight for small objects."""
+        values at car scale, proportionally tight for small objects.
+
+        Beyond the reference: an OBJECT-FRAME VOLUME gate. Ownership votes
+        come from axis-aligned 2D boxes, which over-cover the silhouette,
+        so BACKGROUND points (systematically deeper than the object) leak
+        in; when they outnumber surface points, the distance-to-mean
+        filter keeps the wrong cluster and the recenter mean drags the
+        object into the wall behind it. A point can only keep its vote if
+        it lies inside the cuboid inflated by `vol_factor` in the object's
+        own frame — background leakage is cut by construction."""
         m = map_state
         st = self.store
         for o in np.where(st.valid)[0]:
@@ -396,6 +424,15 @@ class ObjectManager:
                 continue
             mean2 = p[coarse].mean(axis=0)
             fine = np.linalg.norm(p - mean2, axis=1) < fine_threshold
+            # object-frame volume gate (pose = latest measurement-anchored
+            # estimate; a small absolute margin tolerates pose error)
+            Tow = np_geo.inv_T(st.pose[o].astype(np.float64))
+            p_obj = p @ Tow[:3, :3].T + Tow[:3, 3]
+            bound = vol_factor * st.scale[o].astype(np.float64) \
+                + 0.1 * half_diag
+            in_vol = np.all(np.abs(p_obj) <= bound, axis=1)
+            if (fine & in_vol).sum() > min_points_recenter:
+                fine &= in_vol
             if fine.sum() <= min_points_recenter:
                 # too few survivors to trust the filter: keep ownership as
                 # is — stripping every vote would leave the object with
@@ -428,6 +465,8 @@ class ObjectManager:
                            n_eligible, max_box_edges)
         for det in ring:
             if det.landmark < 0 or det.kf_id not in kf_map or n >= max_box_edges:
+                continue
+            if det.at_border:
                 continue
             box_kf[n] = kf_map[det.kf_id]
             box_obj[n] = det.landmark

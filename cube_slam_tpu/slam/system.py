@@ -91,10 +91,10 @@ from ..utils import hostpack
 def _local_ba_packed(buf, K, E, KF, PT, num_iters):
     """local_ba_points with ONE packed upload and ONE packed download
     (the KF-step's dozen per-array transfers each cost a tunnel round
-    trip — see utils/hostpack). The SPARSE reduced-camera assembly pairs
-    edges ON DEVICE (schur_window=KF is exact: a point is observed at
-    most once per keyframe), so no pair list travels through the tunnel
-    and the compile shape depends only on (E, KF, PT)."""
+    trip — see utils/hostpack). The reduced-camera system assembles as
+    the DENSE matmul-shaped contraction (ba.local_ba_points' default):
+    no pair list travels through the tunnel and the compile shape
+    depends only on (E, KF, PT)."""
     specs = [((KF, 4, 4), jnp.float32), ((PT, 3), jnp.float32),
              ((E,), jnp.int32), ((E,), jnp.int32), ((E, 2), jnp.float32),
              ((E,), jnp.float32), ((E,), jnp.bool_),
@@ -106,7 +106,7 @@ def _local_ba_packed(buf, K, E, KF, PT, num_iters):
     out_tcw, out_pts, _cost, inl = ba.local_ba_points(
         kf_tcw, pts, K, obs_kf, obs_pt, obs_uv, obs_si, obs_valid,
         kf_fixed, pt_valid, obs_z=obs_z, obs_z_si=obs_z_si,
-        schur_window=KF, num_iters=num_iters)
+        num_iters=num_iters)
     return jnp.concatenate([out_tcw.reshape(-1), out_pts.reshape(-1),
                             inl.astype(jnp.float32)])
 
@@ -280,6 +280,8 @@ class MonocularTracker:
         self._dev_state = None
         # in-flight dispatched frame (cfg.pipeline mode)
         self._pending = None
+        # in-flight local BA from the last keyframe step (_apply_pending_map)
+        self._pending_ba = None
         self._sup_dummy = None
         # optional structured per-frame metrics (utils/metrics.MetricsRecorder)
         self.metrics = None
@@ -316,6 +318,9 @@ class MonocularTracker:
         fills); `trajectory` still records every frame under its own id,
         and `flush()` resolves the final in-flight frame at end of run."""
         t0 = time.perf_counter()
+        # fold the previous keyframe's local BA as soon as the device has
+        # finished it (bounded staleness; non-blocking check)
+        self._apply_pending_map(only_if_ready=True)
         if self.cfg.pipeline and self.state == "OK":
             out = self._track_pipelined(gray)
         else:
@@ -334,11 +339,14 @@ class MonocularTracker:
         return out
 
     def flush(self):
-        """Resolve the in-flight frame (pipelined mode); returns its pose
-        or None. No-op in synchronous mode."""
+        """Resolve the in-flight frame (pipelined mode) and fold any
+        in-flight local BA; returns the frame's pose or None."""
         if self._pending is None:
+            self._apply_pending_map()
             return None
-        return self._resolve_pending()
+        out = self._resolve_pending()
+        self._apply_pending_map()
+        return out
 
     def _resolve_pending(self):
         p, self._pending = self._pending, None
@@ -584,6 +592,9 @@ class MonocularTracker:
         """Failure chain: PnP on the raw motion-stage matches, reference-KF
         match, relocalization. Returns True when tracking recovered."""
         cfg = self.cfg
+        # tracking is in trouble: make sure the host map reflects every
+        # completed optimization before the rescue matchers read it
+        self._apply_pending_map()
         if n_in >= cfg.min_inliers_track:
             # motion stage fine but local-map stage too weak -> lost
             return False
@@ -842,6 +853,7 @@ class MonocularTracker:
             # record it as untracked rather than resolving it
             self.trajectory.append((self._pending["fid"], None))
             self._pending = None
+        self._pending_ba = None  # its keyframes are being wiped
         self.map.clear()
         self.state = "NOT_INITIALIZED"
         self.init_frame = None
@@ -913,6 +925,9 @@ class MonocularTracker:
                 feats.dev["packed"].copy_to_host_async()
             except Exception:
                 pass
+        # fold the PREVIOUS keyframe's in-flight local BA in first: slot
+        # recycling below would orphan its results
+        self._apply_pending_map()
         self._mirror.sync_counters(self.map)
         k = self._insert_keyframe_raw(feats, self.last_Tcw, fid)
         self.map.kf_kp_mp[k, : len(feats.mp)] = feats.mp
@@ -944,8 +959,11 @@ class MonocularTracker:
         local = [k] + [int(i) for i in order[: cfg.local_ba_kfs - 1] if counts[i] >= 15]
         kf_all = self.map.kf_ids()
         fixed = [int(i) for i in kf_all if i not in local]
-        # cap fixed ring size for the BA problem
-        self._local_ba(local, fixed=fixed[: cfg.local_ba_kfs])
+        # cap fixed ring size for the BA problem; the solve stays IN FLIGHT
+        # until the next mapping event — tracking continues on the pre-BA
+        # map meanwhile, exactly like the reference's async mapping thread
+        self._pending_ba = self._local_ba_dispatch(
+            local, fixed=fixed[: cfg.local_ba_kfs])
         self._cull_keyframes()
         self._refresh_mp_geometry(self.map.mp_ids())
 
@@ -955,6 +973,12 @@ class MonocularTracker:
         # --- loop closing (LoopClosing::Run, gated like enable_loop_closing)
         if cfg.enable_loop_closing:
             self._try_close_loop(k, counts)
+        # fold the local BA dispatched above: its device execution overlapped
+        # the culling / geometry-refresh / loop-detection host work, so the
+        # wait here is near-zero — and tracking always runs on the optimized
+        # map (leaving the fold to a later frame measurably collapses
+        # tracking robustness on hard sections)
+        self._apply_pending_map()
 
     def _try_close_loop(self, k, covis_counts):
         """DetectLoop -> verify Sim3 -> CorrectLoop (essential graph with
@@ -971,6 +995,9 @@ class MonocularTracker:
             if ver is None:
                 continue
             s, R, t, n_in = ver
+            # the correction rewrites poses map-wide; a stale in-flight BA
+            # applied afterwards would clobber it
+            self._apply_pending_map()
             lc.correct_loop(
                 m, loop_kf=k, matched_kf=cand, sim3_correction=(s, R, t),
                 covis_theta=self.cfg.loop_covis_theta,
@@ -1255,6 +1282,37 @@ class MonocularTracker:
 
     # ------------------------------------------------------------------
     def _local_ba(self, local_kfs, fixed, kf_cap=16, pt_cap=2048):
+        """Synchronous dispatch + apply (global BA, loop closing). The
+        keyframe step instead keeps the dispatched solve PENDING and
+        applies it at the next mapping event (`_apply_pending_map`) — the
+        tracking thread never blocks on the mapping thread's optimization
+        in the reference either (LocalMapping runs asynchronously,
+        System.cc:104-117)."""
+        self._local_ba_apply(self._local_ba_dispatch(
+            local_kfs, fixed, kf_cap=kf_cap, pt_cap=pt_cap))
+
+    def _apply_pending_map(self, only_if_ready=False):
+        """Fold the in-flight local BA into the map. Called opportunistically
+        at the start of every track() with only_if_ready=True (fold as soon
+        as the device finishes — staleness stays bounded to a frame or two),
+        and UNCONDITIONALLY at every point where host code reads or rewrites
+        optimized state (keyframe step / rescue / flush / loop correction /
+        global BA / rescale). Leaving the fold until the next keyframe
+        starves tracking of the optimized map and collapses robustness."""
+        p = self._pending_ba
+        if p is None:
+            return
+        if only_if_ready:
+            try:
+                if not p["out"].is_ready():
+                    return
+            except Exception:
+                pass
+        self._pending_ba = None
+        self._local_ba_apply(p)
+        self._bump_map()
+
+    def _local_ba_dispatch(self, local_kfs, fixed, kf_cap=16, pt_cap=2048):
         cfg = self.cfg
         m = self.map
         kfs = list(dict.fromkeys(list(local_kfs) + list(fixed)))
@@ -1264,7 +1322,7 @@ class MonocularTracker:
         )
         mp_set = mp_set[m.mp_valid[mp_set]]
         if len(mp_set) == 0:
-            return
+            return None
 
         kf_idx, kp_idx, mp_idx = m.observations_of(mp_set)
         keep = np.isin(kf_idx, kfs)
@@ -1326,27 +1384,58 @@ class MonocularTracker:
         buf = hostpack.pack_host([
             kf_tcw, pts, obs_kf, obs_pt, obs_uv, obs_si, obs_valid,
             kf_fixed, pt_valid, obs_z, obs_z_si])
-        out = np.array(_local_ba_packed(
+        dev_out = _local_ba_packed(
             jnp.asarray(buf), self._K_dev, E=E, KF=KF_CAP, PT=PT_CAP,
-            num_iters=cfg.local_ba_iters))
+            num_iters=cfg.local_ba_iters)
+        try:
+            dev_out.copy_to_host_async()
+        except Exception:
+            pass
+        return dict(
+            out=dev_out, kfs=kfs, nk=nk, kf_fixed=kf_fixed, mp_set=mp_set,
+            npt=npt, kf_idx=kf_idx[:n_e], kp_idx=kp_idx[:n_e],
+            mp_idx=mp_idx[:n_e], obs_valid=obs_valid[:n_e].copy(),
+            KF_CAP=KF_CAP, PT_CAP=PT_CAP,
+            # snapshot frame ids: keyframe culling / eviction may recycle a
+            # slot between dispatch and apply — a mismatch means the result
+            # belongs to a keyframe that no longer exists
+            kf_fids=m.kf_frame_id[np.asarray(kfs)].copy(),
+        )
+
+    def _local_ba_apply(self, pend):
+        if pend is None:
+            return
+        m = self.map
+        out = np.array(pend["out"])
+        KF_CAP, PT_CAP = pend["KF_CAP"], pend["PT_CAP"]
+        kfs, nk, npt = pend["kfs"], pend["nk"], pend["npt"]
+        kf_fixed, mp_set = pend["kf_fixed"], pend["mp_set"]
         o1 = KF_CAP * 16
         o2 = o1 + PT_CAP * 3
         out_tcw = out[:o1].reshape(KF_CAP, 4, 4)
         out_pts = out[o1:o2].reshape(PT_CAP, 3)
         inl = out[o2:] > 0.5
         for i, k in enumerate(kfs[:nk]):
-            if not kf_fixed[i]:
+            if (not kf_fixed[i] and m.kf_valid[k]
+                    and m.kf_frame_id[k] == pend["kf_fids"][i]):
                 m.kf_tcw[k] = out_tcw[i]
-        m.mp_pos[mp_set[:npt]] = out_pts[:npt]
-        # drop observations flagged as outliers
-        for n in range(n_e):
-            if obs_valid[n] and not inl[n]:
-                m.kf_kp_mp[kf_idx[n], kp_idx[n]] = -1
+        live = m.mp_valid[mp_set[:npt]]
+        m.mp_pos[mp_set[:npt][live]] = out_pts[:npt][live]
+        # drop observations flagged as outliers (guard: slot still valid
+        # and the association unchanged since dispatch)
+        bad = pend["obs_valid"] & ~inl[: len(pend["obs_valid"])]
+        idx = np.where(bad)[0]
+        if len(idx):
+            ks, kps, mps = (pend["kf_idx"][idx], pend["kp_idx"][idx],
+                            pend["mp_idx"][idx])
+            ok = m.kf_valid[ks] & (m.kf_kp_mp[ks, kps] == mps)
+            m.kf_kp_mp[ks[ok], kps[ok]] = -1
 
     def global_ba(self, num_iters=10):
         """GlobalBundleAdjustemnt (Optimizer.cc:57-64): full BA over every
         valid keyframe and map point (first KF fixed). Used after loop
         closure (LoopClosing::RunGlobalBundleAdjustment) or on demand."""
+        self._apply_pending_map()
         kfs = [int(k) for k in self.map.kf_ids()]
         if len(kfs) < 2:
             return
@@ -1532,6 +1621,9 @@ class RgbdTracker(MonocularTracker):
 
     def _create_keyframe(self, feats, fid=None):
         super()._create_keyframe(feats, fid=fid)
+        # the in-flight BA guards against slot reuse, but the depth-backed
+        # points below may REUSE erased map slots — fold it first
+        self._apply_pending_map()
         # add depth-backed points for still-unmatched keypoints
         if self._pending_depth is None:
             return
@@ -1682,6 +1774,9 @@ class ObjectSlamTracker(MonocularTracker):
 
     def _create_keyframe(self, feats, fid=None):
         super()._create_keyframe(feats, fid=fid)
+        # the object pipeline below reads AND writes camera/point state
+        # (object BA, scale init) — fold the in-flight static BA first
+        self._apply_pending_map()
         k = self.ref_kf
         gray, bboxes_2d, lines = self._pending_obs or (None, None, None)
         if bboxes_2d is None or lines is None or len(bboxes_2d) == 0:

@@ -185,6 +185,15 @@ class KittiSequence:
                 return load_image(p, gray=True)
         raise FileNotFoundError(f"frame {idx} under {self.base}")
 
+    def gray_right(self, idx):
+        """Right image of the rectified pair (stereo_kitti.cc reads
+        image_0/image_1; raw-format sequences use image_3)."""
+        for pattern in ("image_1/%06d.png", "image_3/%06d.png"):
+            p = os.path.join(self.base, pattern % idx)
+            if os.path.exists(p):
+                return load_image(p, gray=True)
+        raise FileNotFoundError(f"right frame {idx} under {self.base}")
+
     def offline_cuboids(self, use_truth_trackid=False):
         sub = "pred_3d_obj_matched_tracked_txt" if use_truth_trackid else "pred_3d_obj_matched_txt"
         return read_offline_cuboid_txts(os.path.join(self.base, sub), use_truth_trackid)
