@@ -368,4 +368,7 @@ def correct_loop(map_state, loop_kf, matched_kf, sim3_correction, kf_order=None,
         p_cam = old_Tcw[:3, :3] @ m.mp_pos[mp] + old_Tcw[:3, 3]
         Twc_new = np_geo.inv_T(new_Tcw)
         m.mp_pos[mp] = (Twc_new[:3, :3] @ (p_cam / s_ref) + Twc_new[:3, 3]).astype(np.float32)
-    return {k: corrections[k][0] for k in kfs}
+    # full per-KF corrections (new_Tcw, old_Tcw, scale) so callers can
+    # re-anchor OTHER world-frame state (object landmarks) the same way
+    # map points were — the reference leaves MapObjects stale here
+    return corrections

@@ -998,11 +998,12 @@ class MonocularTracker:
             # the correction rewrites poses map-wide; a stale in-flight BA
             # applied afterwards would clobber it
             self._apply_pending_map()
-            lc.correct_loop(
+            corrections = lc.correct_loop(
                 m, loop_kf=k, matched_kf=cand, sim3_correction=(s, R, t),
                 covis_theta=self.cfg.loop_covis_theta,
                 extra_loop_edges=self.loop_edges,
             )
+            self._on_loop_corrected(corrections)
             self.loop_edges.append((int(cand), int(k)))
             self._search_and_fuse_loop(k, cand)
             if self.cfg.loop_global_ba:
@@ -1013,6 +1014,12 @@ class MonocularTracker:
             logger.info("loop closed: KF %d -> KF %d (%d Sim3 inliers)",
                         k, cand, n_in)
             break
+
+    def _on_loop_corrected(self, corrections):
+        """Hook: a loop correction rewrote keyframe poses + map points.
+        `corrections`: kf -> (new_Tcw, old_Tcw, sim3_scale). Subclasses
+        carrying additional world-frame state (object landmarks) re-anchor
+        it here; the base tracker has nothing else to move."""
 
     def _search_and_fuse_loop(self, k, matched_kf, radius=4.0):
         """SearchAndFuse (LoopClosing.cc:536-580): after correction, project
@@ -1796,6 +1803,36 @@ class ObjectSlamTracker(MonocularTracker):
         self.objects.associate(self.map, k, dets)
         self.objects.cull(self.map)
         self._object_ba(k)
+
+    def _on_loop_corrected(self, corrections):
+        """Re-anchor object landmarks through their latest measurement
+        keyframe after a loop correction — the object analog of the map-
+        point re-anchoring in correct_loop.
+
+        BEYOND the reference: LoopClosing.cc:401-580 re-anchors MapPoints
+        only; MapObjects keep their stale world poses after a correction,
+        so corrected cameras and uncorrected cuboids disagree until the
+        next sighting. Here every landmark rides the correction of the
+        keyframe that last measured it (pose through the camera frame,
+        translation + free scale divided by the Sim3 scale, exactly like
+        the points)."""
+        st = self.objects.store
+        for o in np.where(st.valid)[0]:
+            dq = self.objects.meas.get(int(o))
+            anchor = None
+            if dq:
+                for det in reversed(dq):
+                    if det.kf_id in corrections:
+                        anchor = det.kf_id
+                        break
+            if anchor is None:
+                continue
+            new_Tcw, old_Tcw, s_ref = corrections[anchor]
+            pose_cam = old_Tcw @ st.pose[o].astype(np.float64)
+            pose_cam[:3, 3] /= s_ref
+            st.pose[o] = (np_geo.inv_T(new_Tcw) @ pose_cam).astype(np.float32)
+            if not st.fix_scale[o]:
+                st.scale[o] = (st.scale[o] / s_ref).astype(np.float32)
 
     def _object_ba(self, k):
         """Joint local BA with objects (replaces the plain point BA result
