@@ -52,36 +52,45 @@ def _shift2d(img, dy, dx):
     return lax.dynamic_slice(padded, (3 + dy, 3 + dx), (H, W))
 
 
-def fast_score(img, threshold):
-    """Dense FAST-9 response for every pixel of (H, W) f32.
+def fast_corner_score(img):
+    """Dense FAST-9 arc-contrast score for every pixel of (H, W) f32.
 
-    Returns (is_corner bool (H, W), score f32 (H, W)). Score is the classic
-    arc contrast: max over the 16 contiguous 9-arcs of the minimum absolute
-    center difference, for arcs that are uniformly brighter or darker.
+    score(p) = max over the 16 contiguous 9-arcs of the minimum signed
+    center difference (brighter arcs) or its negation (darker arcs).
+    `score > t` is exactly the FAST-9 corner test at threshold t — all 9
+    pixels of some arc differ from the center by more than t — so ONE
+    score map serves every threshold (the reference's 20-then-7 per-cell
+    retry, ORBextractor.cc:790-830, reuses it for both levels).
+
+    The windowed min over each 9-arc is computed for all 16 starts at once
+    by doubling (min-of-2 -> 4 -> 8 -> 9): 4 passes over the (16, H, W)
+    ring instead of 16x9 pairwise ops.
     """
     center = img
     ring = jnp.stack([_shift2d(img, int(dy), int(dx)) for dy, dx in _FAST_DYDX])  # (16, H, W)
     diff = ring - center[None]
-    brighter = diff > threshold
-    darker = diff < -threshold
 
-    def arc_test(mask, mag):
-        # all-of-9-contiguous for each start; min |diff| over the arc as score
-        best = jnp.zeros_like(center)
-        hit = jnp.zeros_like(center, dtype=bool)
-        for s in range(16):
-            ok = mask[s]
-            arc_min = mag[s]
-            for i in range(1, 9):
-                ok = ok & mask[(s + i) % 16]
-                arc_min = jnp.minimum(arc_min, mag[(s + i) % 16])
-            hit = hit | ok
-            best = jnp.maximum(best, jnp.where(ok, arc_min, 0.0))
-        return hit, best
+    def w9(x):
+        m2 = jnp.minimum(x, jnp.roll(x, -1, axis=0))
+        m4 = jnp.minimum(m2, jnp.roll(m2, -2, axis=0))
+        m8 = jnp.minimum(m4, jnp.roll(m4, -4, axis=0))
+        return jnp.minimum(m8, jnp.roll(x, -8, axis=0))
 
-    hit_b, score_b = arc_test(brighter, diff)
-    hit_d, score_d = arc_test(darker, -diff)
-    return hit_b | hit_d, jnp.maximum(score_b, score_d)
+    score_b = jnp.max(w9(diff), axis=0)
+    score_d = jnp.max(w9(-diff), axis=0)
+    return jnp.maximum(score_b, score_d)
+
+
+def fast_score(img, threshold):
+    """Dense FAST-9 response for every pixel of (H, W) f32.
+
+    Returns (is_corner bool (H, W), score f32 (H, W)); score is 0 where the
+    corner test fails at `threshold` (legacy shape of the two-output API —
+    detection now derives both thresholds from ONE fast_corner_score map).
+    """
+    s = fast_corner_score(img)
+    hit = s > threshold
+    return hit, jnp.where(hit, s, 0.0)
 
 
 def _nms3x3(score):
@@ -104,41 +113,48 @@ def detect_level(img, max_kp, ini_threshold=20.0, min_threshold=7.0,
     DistributeOctTree. Returns (xy (max_kp, 2) f32, score, valid).
     """
     H, W = img.shape
-    hit_hi, score_hi = fast_score(img, ini_threshold)
-    hit_lo, score_lo = fast_score(img, min_threshold)
+    raw = fast_corner_score(img)
 
     yy = jnp.arange(H)[:, None]
     xx = jnp.arange(W)[None, :]
     inb = (yy >= border) & (yy < H - border) & (xx >= border) & (xx < W - border)
 
-    nms_hi = _nms3x3(score_hi) & hit_hi & inb
-    nms_lo = _nms3x3(score_lo) & hit_lo & inb
+    nms = _nms3x3(raw) & inb
+    hi = nms & (raw > ini_threshold)
+    lo = nms & (raw > min_threshold)
 
-    cell_r = (yy // cell_size).astype(jnp.int32)
-    cell_c = (xx // cell_size).astype(jnp.int32)
+    # the 30px cell grid is REGULAR: pad to a cell multiple and reshape to
+    # (n_cr, cs, n_cc, cs) so every per-cell reduction is a cheap axis
+    # reduction instead of a segment_max/min over H*W flat indices (the
+    # segment ops were ~80% of this kernel's device time at KITTI size)
     n_cr = (H + cell_size - 1) // cell_size
     n_cc = (W + cell_size - 1) // cell_size
-    cell_id = (cell_r * n_cc + cell_c).reshape(-1)
-    n_cells = n_cr * n_cc
+    Hp, Wp = n_cr * cell_size, n_cc * cell_size
 
-    hi_any = jax.ops.segment_max(
-        jnp.where(nms_hi, 1, 0).reshape(-1), cell_id, num_segments=n_cells
-    )  # (n_cells,) 1 if cell has a high-threshold corner
-    use_hi = hi_any[cell_id].reshape(H, W) > 0
-    corner = jnp.where(use_hi, nms_hi, nms_lo)
-    score = jnp.where(use_hi, score_hi, score_lo)
-    score = jnp.where(corner, score, -1.0)
+    def cells(a, fill):
+        p = jnp.pad(a, ((0, Hp - H), (0, Wp - W)), constant_values=fill)
+        return p.reshape(n_cr, cell_size, n_cc, cell_size)
 
-    # best corner per cell: rank within cell by score
-    flat_score = score.reshape(-1)
-    cell_best = jax.ops.segment_max(flat_score, cell_id, num_segments=n_cells)
-    is_cell_best = flat_score >= jnp.where(cell_best[cell_id] > 0, cell_best[cell_id], 1e9)
-    # tie-break duplicates deterministically: first index wins
-    idx = jnp.arange(H * W)
-    first_best = jax.ops.segment_min(
-        jnp.where(is_cell_best, idx, H * W), cell_id, num_segments=n_cells
-    )
-    keep1 = jnp.zeros((H * W + 1,), dtype=bool).at[jnp.where(first_best < H * W, first_best, H * W)].set(True)[: H * W]
+    hi_any = cells(hi, False).any(axis=(1, 3))  # (n_cr, n_cc)
+    use_hi = jnp.broadcast_to(
+        hi_any[:, None, :, None], (n_cr, cell_size, n_cc, cell_size)
+    ).reshape(Hp, Wp)[:H, :W]
+    corner = jnp.where(use_hi, hi, lo)
+    flat_score = jnp.where(corner, raw, -1.0).reshape(-1)
+
+    # best corner per cell (first-index tie-break via argmax ordering)
+    score_c = jnp.where(cells(corner, False), cells(raw, 0.0), -1.0)
+    sc_rows = score_c.transpose(0, 2, 1, 3).reshape(
+        n_cr * n_cc, cell_size * cell_size)
+    win = jnp.argmax(sc_rows, axis=1)
+    win_val = jnp.take_along_axis(sc_rows, win[:, None], axis=1)[:, 0]
+    ci = jnp.arange(n_cr * n_cc)
+    wy = (ci // n_cc) * cell_size + win // cell_size
+    wx = (ci % n_cc) * cell_size + win % cell_size
+    win_ok = (win_val > 0) & (wy < H) & (wx < W)
+    keep1 = jnp.zeros((H * W + 1,), dtype=bool).at[
+        jnp.where(win_ok, wy * W + wx, H * W)
+    ].set(True)[: H * W]
 
     # remaining capacity filled by global top-k of the rest
     primary = jnp.where(keep1, flat_score + 1e6, flat_score)  # cell-winners first

@@ -108,8 +108,15 @@ def _score_f(F, p1, p2, valid, sigma=SIGMA):
 
 
 def triangulate(P1, P2, p1, p2):
-    """Linear SVD triangulation (Initializer.cc:739-770).
-    P1, P2: (3, 4) projection matrices; p1, p2: (N, 2). -> (N, 3)."""
+    """Linear DLT triangulation (Initializer.cc:739-770).
+    P1, P2: (3, 4) projection matrices; p1, p2: (N, 2). -> (N, 3).
+
+    The reference takes the SVD null vector of the 4x4 DLT system; batched
+    tiny SVDs are slow on TPU (iterative algorithm, no MXU use), so we
+    solve the equivalent inhomogeneous system A[:, :3] X = -A[:, 3] (the
+    w=1 gauge) by closed-form 3x3 normal equations — pure elementwise math.
+    Identical for finite points; points near infinity (w ~ 0) are rejected
+    downstream by the depth/parallax acceptance gates either way."""
     rows = jnp.stack(
         [
             p1[:, 0, None] * P1[2] - P1[0],
@@ -119,11 +126,31 @@ def triangulate(P1, P2, p1, p2):
         ],
         axis=1,
     )  # (N, 4, 4)
-    _, _, vt = jnp.linalg.svd(rows)
-    X = vt[:, -1]
-    w = X[:, 3:4]
-    w = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
-    return X[:, :3] / w
+    rows = rows / (jnp.linalg.norm(rows, axis=2, keepdims=True) + 1e-12)
+    M = rows[:, :, :3]
+    b = -rows[:, :, 3]
+    S = jnp.einsum("nij,nik->njk", M, M)
+    y = jnp.einsum("nij,ni->nj", M, b)
+    a, bb, c = S[:, 0, 0], S[:, 0, 1], S[:, 0, 2]
+    d, e = S[:, 1, 1], S[:, 1, 2]
+    f = S[:, 2, 2]
+    A00 = d * f - e * e
+    A01 = c * e - bb * f
+    A02 = bb * e - c * d
+    A11 = a * f - c * c
+    A12 = bb * c - a * e
+    A22 = a * d - bb * bb
+    det = a * A00 + bb * A01 + c * A02
+    det = jnp.where(jnp.abs(det) < 1e-18, 1e-18, det)
+    X = jnp.stack(
+        [
+            A00 * y[:, 0] + A01 * y[:, 1] + A02 * y[:, 2],
+            A01 * y[:, 0] + A11 * y[:, 1] + A12 * y[:, 2],
+            A02 * y[:, 0] + A12 * y[:, 1] + A22 * y[:, 2],
+        ],
+        axis=1,
+    ) / det[:, None]
+    return X
 
 
 def _cheirality(R, t, K, p1, p2, inlier, max_parallax_needed=1.0, sigma=SIGMA):

@@ -225,17 +225,34 @@ class _DeviceMapMirror:
     def set_counters(self, vis, found):
         self.vis_acc, self.found_acc = vis, found
 
-    def sync_counters(self, m):
-        """Fold device counter deltas into the host arrays and zero the
-        device side. Must run BEFORE any host mutation that recycles
-        map-point slots (the deltas are slot-indexed)."""
+    def sync_counters_dispatch(self):
+        """Start the counter-delta download WITHOUT blocking; returns a
+        pending handle for sync_counters_apply. The keyframe step dispatches
+        this first so the ~one-round-trip download overlaps the
+        triangulation/fusion device programs."""
         if self.vis_acc is None:
+            return None
+        stacked = jnp.stack([self.vis_acc, self.found_acc])
+        try:
+            stacked.copy_to_host_async()
+        except Exception:
+            pass
+        return stacked
+
+    def sync_counters_apply(self, m, pending):
+        if pending is None:
             return
-        deltas = np.array(jnp.stack([self.vis_acc, self.found_acc]))
+        deltas = np.array(pending)
         m.mp_visible += deltas[0]
         m.mp_found += deltas[1]
         self.vis_acc = jnp.zeros(m.max_mp, dtype=jnp.int32)
         self.found_acc = jnp.zeros(m.max_mp, dtype=jnp.int32)
+
+    def sync_counters(self, m):
+        """Fold device counter deltas into the host arrays and zero the
+        device side. Must run BEFORE any host mutation that recycles
+        map-point slots (the deltas are slot-indexed)."""
+        self.sync_counters_apply(m, self.sync_counters_dispatch())
 
 
 class MonocularTracker:
@@ -928,7 +945,9 @@ class MonocularTracker:
         # fold the PREVIOUS keyframe's in-flight local BA in first: slot
         # recycling below would orphan its results
         self._apply_pending_map()
-        self._mirror.sync_counters(self.map)
+        # start the counter-delta download now; it rides the tunnel while
+        # the triangulation/fusion programs dispatch and execute
+        counters_pending = self._mirror.sync_counters_dispatch()
         k = self._insert_keyframe_raw(feats, self.last_Tcw, fid)
         self.map.kf_kp_mp[k, : len(feats.mp)] = feats.mp
         obs = feats.mp >= 0
@@ -937,7 +956,6 @@ class MonocularTracker:
         self.last_kf_frame_id = fid
 
         # --- local mapping inline (RunMappingIteration)
-        self._cull_map_points(k)
         # dispatch triangulation + neighbor fusion TOGETHER, then block on
         # both results at once: one overlapped tunnel round trip instead of
         # two sequential ones. Fusion therefore projects the PRE-
@@ -952,6 +970,10 @@ class MonocularTracker:
                     pend[0].copy_to_host_async()
                 except Exception:
                     pass
+        # consume the counter deltas (their download overlapped the device
+        # work above) BEFORE culling reads the found/visible ratios
+        self._mirror.sync_counters_apply(self.map, counters_pending)
+        self._cull_map_points(k)
         self._triangulate_new_apply(k, tri)
         self._fuse_neighbors_apply(k, fuse)
         counts = self.map.covisibility_counts(k)
@@ -973,12 +995,13 @@ class MonocularTracker:
         # --- loop closing (LoopClosing::Run, gated like enable_loop_closing)
         if cfg.enable_loop_closing:
             self._try_close_loop(k, counts)
-        # fold the local BA dispatched above: its device execution overlapped
-        # the culling / geometry-refresh / loop-detection host work, so the
-        # wait here is near-zero — and tracking always runs on the optimized
-        # map (leaving the fold to a later frame measurably collapses
-        # tracking robustness on hard sections)
-        self._apply_pending_map()
+        # fold the local BA dispatched above as soon as the device reports
+        # it done: track() polls with only_if_ready=True every frame, so
+        # staleness is bounded to ~a frame — the same overlap the
+        # reference's asynchronous mapping thread provides (System.cc:
+        # 104-117). Blocking here would serialize the solve + a tunnel
+        # round trip into every keyframe's wall time.
+        self._apply_pending_map(only_if_ready=True)
 
     def _try_close_loop(self, k, covis_counts):
         """DetectLoop -> verify Sim3 -> CorrectLoop (essential graph with
