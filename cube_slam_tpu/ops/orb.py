@@ -277,25 +277,6 @@ class OrbPyramidConfig:
                 and self._key() == other._key())
 
 
-@functools.partial(
-    jax.jit, static_argnames=("out_h", "out_w", "quota", "ini_th", "min_th"))
-def _level_kernel(gray, out_h, out_w, quota, ini_th, min_th):
-    """ONE fused program per pyramid level: resize -> FAST -> distribution
-    -> IC angle -> blur -> rBRIEF. The whole level is a single device
-    dispatch — per-op eager execution would cost hundreds of tiny program
-    launches per frame, which dominates wall time on a tunneled TPU."""
-    if (out_h, out_w) != gray.shape:
-        level_img = jax.image.resize(gray, (out_h, out_w), method="linear")
-    else:
-        level_img = gray
-    xy, score, valid = detect_level(
-        level_img, max_kp=quota, ini_threshold=ini_th, min_threshold=min_th)
-    ang = ic_angle(level_img, xy, valid)
-    blurred = im_ops.gaussian_blur(level_img, sigma=2.0, radius=3)
-    desc = brief_descriptors(blurred, xy, ang, valid)
-    return xy, score, valid, ang, desc
-
-
 @jax.jit
 def pack_features(xy, level, angle, valid, desc=None):
     """Pack the feature fields into ONE array so the host needs a single
@@ -309,18 +290,26 @@ def pack_features(xy, level, angle, valid, desc=None):
 
 
 def _extract_body(gray, cfg: OrbPyramidConfig):
-    """Trace-time body of the whole-pyramid extraction (all levels)."""
+    """Trace-time body of the whole-pyramid extraction (all levels).
+
+    The pyramid is built SUCCESSIVELY — each level is a light Gaussian
+    pre-blur + 1.2x bilinear resize of the previous level, the reference's
+    ComputePyramid scheme (ORBextractor.cc:1106-1130). Resizing every level
+    directly from full-res aliases badly past ~2x decimation, which makes
+    high-level FAST detections and descriptors unrepeatable between frames
+    (measured: mid-level cross-frame matchability doubles with the
+    anti-aliased chain)."""
     gray = jnp.asarray(gray, dtype=jnp.float32)
     H0, W0 = gray.shape
     out_xy, out_lvl, out_ang, out_sc, out_desc, out_valid = [], [], [], [], [], []
+    level_img = gray
     for lvl in range(cfg.n_levels):
         h = int(round(H0 / cfg.scales[lvl]))
         w = int(round(W0 / cfg.scales[lvl]))
         quota = cfg.per_level[lvl]
-        if (h, w) != gray.shape:
-            level_img = jax.image.resize(gray, (h, w), method="linear")
-        else:
-            level_img = gray
+        if lvl > 0:
+            src = im_ops.gaussian_blur(level_img, sigma=0.8, radius=2)
+            level_img = jax.image.resize(src, (h, w), method="linear")
         xy, score, valid = detect_level(
             level_img, max_kp=quota, ini_threshold=cfg.ini_th,
             min_threshold=cfg.min_th)
@@ -359,33 +348,13 @@ def extract_orb_fused(gray, cfg: OrbPyramidConfig):
 
 
 def extract_orb(gray, cfg: OrbPyramidConfig):
-    """Full ORB extraction — one fused jitted program per pyramid level.
+    """Full ORB extraction (same result set as extract_orb_fused, minus the
+    "packed" bundle).
 
     gray: (H, W) f32 numpy/jnp. Returns dict of padded arrays:
       xy (N, 2) level-0 coords, level (N,), angle (N,), score (N,),
       desc (N, 8) uint32, valid (N,), octave scale factors.
     N = sum of per-level quotas (static for a given config).
     """
-    gray = jnp.asarray(gray, dtype=jnp.float32)
-    H0, W0 = gray.shape
-    out_xy, out_lvl, out_ang, out_sc, out_desc, out_valid = [], [], [], [], [], []
-    for lvl in range(cfg.n_levels):
-        h = int(round(H0 / cfg.scales[lvl]))
-        w = int(round(W0 / cfg.scales[lvl]))
-        quota = cfg.per_level[lvl]
-        xy, score, valid, ang, desc = _level_kernel(
-            gray, h, w, quota, float(cfg.ini_th), float(cfg.min_th))
-        out_xy.append(xy * cfg.scales[lvl])  # scale back to level-0 coords
-        out_lvl.append(jnp.full((quota,), lvl, dtype=jnp.int32))
-        out_ang.append(ang)
-        out_sc.append(score)
-        out_desc.append(desc)
-        out_valid.append(valid)
-    return {
-        "xy": jnp.concatenate(out_xy),
-        "level": jnp.concatenate(out_lvl),
-        "angle": jnp.concatenate(out_ang),
-        "score": jnp.concatenate(out_sc),
-        "desc": jnp.concatenate(out_desc),
-        "valid": jnp.concatenate(out_valid),
-    }
+    out = extract_orb_fused(jnp.asarray(gray, dtype=jnp.float32), cfg)
+    return {k: v for k, v in out.items() if k != "packed"}

@@ -427,6 +427,10 @@ class KittiStereoTracker(StereoTracker):
 
     _rows_for = KittiMonoTracker._rows_for
     _object_ba = ObjectSlamTracker._object_ba
+    # object landmarks are world-frame state — they must ride loop
+    # corrections exactly like in ObjectSlamTracker (same store/meas
+    # layouts), or cuboids go stale after a closed loop
+    _on_loop_corrected = ObjectSlamTracker._on_loop_corrected
 
     def reset(self):
         StereoTracker.reset(self)

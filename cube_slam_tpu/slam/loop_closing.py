@@ -151,11 +151,148 @@ class LoopDetector:
         return out
 
 
-def verify_loop_sim3(map_state, kf_a, kf_b, fix_scale=False, min_inliers=20, seed=0):
-    """Geometric verification: match descriptors of the two KFs' map points,
-    Sim3-RANSAC their 3D positions. Returns (s, R, t, n_inliers) aligning
-    kf_a's world points onto kf_b's (here both in one world — a drifted map
-    yields the correction) or None."""
+def _np_sim3_compose(a, b):
+    """Compose two numpy Sim3 triples (s, R, t): apply b then a."""
+    sa, Ra, ta = a
+    sb, Rb, tb = b
+    return sa * sb, Ra @ Rb, sa * (Ra @ tb) + ta
+
+
+def _np_sim3_of_se3(T):
+    return 1.0, T[:3, :3].astype(np.float64), T[:3, 3].astype(np.float64)
+
+
+def _np_sim3_inverse(s, R, t):
+    return 1.0 / s, R.T, -(R.T @ t) / s
+
+
+def _pad_pow2(n, lo=256):
+    return max(lo, 1 << int(np.ceil(np.log2(max(n, 1)))))
+
+
+def _refine_sim3_cam(m, kf_a, kf_b, pa_w, pb_w, uv1, uv2, s, R, t,
+                     fix_scale, num_iters=10):
+    """Refine a WORLD Sim3 (pa_w -> pb_w) as the reference does: convert to
+    the camera-frame relative Sim3, run the both-way-projection LM
+    (Optimizer::OptimizeSim3, Optimizer.cc:2838-3035), convert back.
+    Returns (s, R, t, inlier_mask, n_inliers) in world terms."""
+    Tcw_a = m.kf_tcw[kf_a].astype(np.float64)
+    Tcw_b = m.kf_tcw[kf_b].astype(np.float64)
+    pa_cam = pa_w @ Tcw_a[:3, :3].T + Tcw_a[:3, 3]
+    pb_cam = pb_w @ Tcw_b[:3, :3].T + Tcw_b[:3, 3]
+    # S_cam: cam_a -> cam_b through the world correction
+    S_cam = _np_sim3_compose(
+        _np_sim3_compose(_np_sim3_of_se3(Tcw_b), (s, R, t)),
+        _np_sim3_of_se3(np_geo.inv_T(Tcw_a)))
+    N = len(pa_cam)
+    P = _pad_pow2(N)
+    pad = lambda arr, w: np.concatenate(
+        [arr, np.zeros((P - N,) + arr.shape[1:], arr.dtype)]) if N < P else arr
+    valid = np.zeros(P, dtype=bool)
+    valid[:N] = True
+    s_r, R_r, t_r, inl, n_in = sim3_mod.optimize_sim3_relative(
+        jnp.float32(S_cam[0]), jnp.asarray(S_cam[1], dtype=jnp.float32),
+        jnp.asarray(S_cam[2], dtype=jnp.float32),
+        jnp.asarray(pad(pa_cam.astype(np.float32), 3)),
+        jnp.asarray(pad(pb_cam.astype(np.float32), 3)),
+        jnp.asarray(pad(uv1.astype(np.float32), 2)),
+        jnp.asarray(pad(uv2.astype(np.float32), 2)),
+        jnp.asarray(m._K.astype(np.float32)),
+        jnp.asarray(valid), num_iters=num_iters, fix_scale=fix_scale)
+    S_ref = (float(s_r), np.array(R_r, dtype=np.float64),
+             np.array(t_r, dtype=np.float64))
+    # back to world: S_w = inv(Tcw_b) o S_cam_refined o Tcw_a
+    S_w = _np_sim3_compose(
+        _np_sim3_compose(_np_sim3_of_se3(np_geo.inv_T(Tcw_b)), S_ref),
+        _np_sim3_of_se3(Tcw_a))
+    return S_w[0], S_w[1], S_w[2], np.array(inl)[:N], int(n_in)
+
+
+def _sim3_guided_matches(m, kf_a, kf_b, s, R, t, radius=7.5,
+                         max_dist=matching.TH_HIGH):
+    """SearchBySim3-style guided re-matching (ORBmatcher.cc:1141-1370):
+    project each keyframe's map points into the OTHER image through the
+    refined WORLD Sim3, window-match descriptors both ways, and keep
+    mutually-agreeing map-point pairs. Returns (pa_w, pb_w, uv1, uv2)
+    arrays of the agreed correspondences."""
+    Tcw_a = m.kf_tcw[kf_a].astype(np.float64)
+    Tcw_b = m.kf_tcw[kf_b].astype(np.float64)
+    K = m._K
+
+    def project_into(pts_w, Tcw):
+        pc = pts_w @ Tcw[:3, :3].T + Tcw[:3, 3]
+        z = np.maximum(pc[:, 2], 1e-9)
+        uv = (pc @ K.T)[:, :2] / z[:, None]
+        return uv, pc[:, 2]
+
+    def one_way(src_kf, dst_kf, S):
+        """src's map points through S into dst's image; match against
+        dst's keypoints THAT HAVE map points. Returns dict mp_src->mp_dst."""
+        mp_s = m.kf_kp_mp[src_kf]
+        sel_s = np.where((mp_s >= 0) & m.kf_kp_valid[src_kf])[0]
+        ids_s = mp_s[sel_s]
+        live = m.mp_valid[ids_s]
+        sel_s, ids_s = sel_s[live], ids_s[live]
+        if len(ids_s) == 0:
+            return {}
+        # S maps src-world -> dst-world; project through the dst camera
+        warped = S[0] * (m.mp_pos[ids_s] @ S[1].T) + S[2]
+        uv, z = project_into(warped, (Tcw_b if dst_kf == kf_b else Tcw_a))
+        mp_d = m.kf_kp_mp[dst_kf]
+        sel_d = np.where((mp_d >= 0) & m.kf_kp_valid[dst_kf])[0]
+        ids_d = mp_d[sel_d]
+        live_d = m.mp_valid[ids_d]
+        sel_d, ids_d = sel_d[live_d], ids_d[live_d]
+        if len(ids_d) == 0:
+            return {}
+        d = np.array(matching.hamming_matrix(
+            jnp.asarray(m.mp_desc[ids_s]), jnp.asarray(m.mp_desc[ids_d])))
+        kp_xy = m.kf_kp_xy[dst_kf, sel_d]
+        lvl = m.kf_kp_level[dst_kf, sel_d].astype(np.float64)
+        r = radius * 1.2 ** lvl
+        wm = ((np.abs(uv[:, None, 0] - kp_xy[None, :, 0]) < r[None, :])
+              & (np.abs(uv[:, None, 1] - kp_xy[None, :, 1]) < r[None, :])
+              & (z[:, None] > 0))
+        d = np.where(wm, d, matching.BIG)
+        best = d.argmin(axis=1)
+        ok = d[np.arange(len(d)), best] <= max_dist
+        return {int(a): int(ids_d[b]) for a, b in
+                zip(ids_s[ok], best[ok])}
+
+    S_ab = (s, R, t)
+    S_ba = _np_sim3_inverse(s, R, t)
+    m_ab = one_way(kf_a, kf_b, S_ab)
+    m_ba = one_way(kf_b, kf_a, S_ba)
+    agreed = [(a, b) for a, b in m_ab.items() if m_ba.get(b, -1) == a]
+    if not agreed:
+        return (np.zeros((0, 3)),) * 2 + (np.zeros((0, 2)),) * 2
+    a_ids = np.array([a for a, _ in agreed])
+    b_ids = np.array([b for _, b in agreed])
+    # pixel observations: the keypoint each map point owns in its keyframe
+    kp_of = {}
+    for kf, ids in ((kf_a, a_ids), (kf_b, b_ids)):
+        mp_tab = m.kf_kp_mp[kf]
+        lut = np.full(m.max_mp, -1, dtype=np.int64)
+        sel = np.where(mp_tab >= 0)[0]
+        lut[mp_tab[sel]] = sel
+        kp_of[kf] = lut
+    uv1 = m.kf_kp_xy[kf_a, kp_of[kf_a][a_ids]]
+    uv2 = m.kf_kp_xy[kf_b, kp_of[kf_b][b_ids]]
+    return m.mp_pos[a_ids].astype(np.float64), \
+        m.mp_pos[b_ids].astype(np.float64), uv1, uv2
+
+
+def verify_loop_sim3(map_state, kf_a, kf_b, K=None, fix_scale=False,
+                     min_inliers=20, seed=0, min_total=40):
+    """Geometric verification, full reference pipeline (LoopClosing.cc:
+    231-400): descriptor match -> Sim3-RANSAC -> OptimizeSim3 LM refinement
+    (both-way projections) -> guided SearchBySim3 re-match with the refined
+    Sim3 -> re-refine -> accept at >= min_total agreed inliers.
+
+    Returns (s, R, t, n_inliers) aligning kf_a's world points onto kf_b's
+    (here both in one world — a drifted map yields the correction) or None.
+    `K`: (3, 3) intrinsics for the projection refinement; when omitted the
+    RANSAC-only result is returned (legacy tests)."""
     m = map_state
     mp_a = m.kf_kp_mp[kf_a]
     mp_b = m.kf_kp_mp[kf_b]
@@ -171,8 +308,10 @@ def verify_loop_sim3(map_state, kf_a, kf_b, fix_scale=False, min_inliers=20, see
     good = idx >= 0
     if good.sum() < min_inliers:
         return None
-    pa = m.mp_pos[mp_a[sel_a[good]]]
-    pb = m.mp_pos[mp_b[sel_b[idx[good]]]]
+    kp_a = sel_a[good]
+    kp_b = sel_b[idx[good]]
+    pa = m.mp_pos[mp_a[kp_a]]
+    pb = m.mp_pos[mp_b[kp_b]]
     N = len(pa)
     samples = np.stack([
         np.random.default_rng(seed + i).choice(N, 3, replace=False) for i in range(128)
@@ -184,7 +323,33 @@ def verify_loop_sim3(map_state, kf_a, kf_b, fix_scale=False, min_inliers=20, see
     )
     if int(n_in) < min_inliers:
         return None
-    return float(s), np.array(R), np.array(t), int(n_in)
+    s, R, t = float(s), np.array(R, dtype=np.float64), np.array(t, dtype=np.float64)
+    if K is None:
+        return s, R, t, int(n_in)
+
+    # --- LM refinement of the RANSAC Sim3 (Optimizer::OptimizeSim3): a raw
+    # 3-point-sample Horn fit carries the RANSAC sample's noise — on long
+    # drifts that biases the pose-graph scale
+    m._K = np.asarray(K, dtype=np.float64)
+    inl = np.array(inlier)
+    s, R, t, _, n_ref = _refine_sim3_cam(
+        m, kf_a, kf_b, pa[inl].astype(np.float64), pb[inl].astype(np.float64),
+        m.kf_kp_xy[kf_a, kp_a[inl]], m.kf_kp_xy[kf_b, kp_b[inl]],
+        s, R, t, fix_scale)
+    if n_ref < min_inliers:
+        return None
+    # --- guided re-match with the refined Sim3 (SearchBySim3 analog),
+    # then re-refine on the agreed set; accept at the reference's >= 40
+    # total-inlier gate (LoopClosing.cc:367-400)
+    pa2, pb2, uv1, uv2 = _sim3_guided_matches(m, kf_a, kf_b, s, R, t)
+    if len(pa2) >= min_inliers:
+        s2, R2, t2, inl2, n2 = _refine_sim3_cam(
+            m, kf_a, kf_b, pa2, pb2, uv1, uv2, s, R, t, fix_scale)
+        if n2 >= min_total:
+            return float(s2), R2, t2, int(n2)
+    if max(n_ref, int(n_in)) >= min_total:
+        return s, R, t, int(n_ref)
+    return None
 
 
 # ---------------------------------------------------------------------------

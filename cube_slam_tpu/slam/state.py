@@ -49,6 +49,12 @@ class MapState:
         self.mp_visible = np.zeros(P, dtype=np.int32)  # TrackLocalMap counters
         self.mp_found = np.zeros(P, dtype=np.int32)
         self.mp_first_kf = np.full(P, -1, dtype=np.int32)
+        # keyframe-sequence number at creation (mnFirstKFid analog): drives
+        # the probation window of MapPointCulling — the found-ratio test
+        # applies ONLY to recently created points (LocalMapping.cc:249-318
+        # iterates mlpRecentAddedMapPoints, not the whole map)
+        self.mp_birth = np.zeros(P, dtype=np.int64)
+        self.kf_seq = 0  # monotonically increasing keyframe counter
         # object association votes (MapPoint.h:125-141): best object per point
         self.mp_best_obj = np.full(P, -1, dtype=np.int32)
 
@@ -57,14 +63,20 @@ class MapState:
         """Index of a free keyframe slot, or -1 when capacity is exhausted
         (callers evict or cull — never crash mid-run)."""
         free = np.where(~self.kf_valid)[0]
-        return int(free[0]) if len(free) else -1
+        if not len(free):
+            return -1
+        self.kf_seq += 1
+        return int(free[0])
 
     def alloc_mps(self, count):
         """Up to `count` free map-point slots. May return FEWER near
         capacity — callers must size their writes by len() of the result
-        (graceful degradation instead of a mid-run RuntimeError)."""
-        free = np.where(~self.mp_valid)[0]
-        return free[:count]
+        (graceful degradation instead of a mid-run RuntimeError).
+        Allocated slots are stamped with the current keyframe sequence
+        (creation time for the culling probation window)."""
+        free = np.where(~self.mp_valid)[0][:count]
+        self.mp_birth[free] = self.kf_seq
+        return free
 
     def erase_kf(self, k):
         """Remove a keyframe (KeyFrame::SetBadFlag analog): detach its

@@ -129,8 +129,9 @@ def _triangulate_packed(buf, K, NB, N):
                             ok_s.astype(jnp.float32).reshape(-1)])
 
 
-@functools.partial(jax.jit, static_argnames=("NN", "M", "N", "radius"))
-def _fuse_packed(buf, K, img_wh, NN, M, N, radius=2.5):
+@functools.partial(jax.jit, static_argnames=("NN", "M", "N", "radius",
+                                               "n_levels"))
+def _fuse_packed(buf, K, img_wh, NN, M, N, radius=2.5, n_levels=8):
     """search_local_points_multi with ONE packed upload (candidate
     map-point data is freshly gathered on host — the device mirror is
     stale mid-keyframe-step) and one download."""
@@ -146,7 +147,8 @@ def _fuse_packed(buf, K, img_wh, NN, M, N, radius=2.5):
     mp_to_kp_s, _ = trk_mod.search_local_points_multi(
         Tcw_s, K, c_pos, c_desc, c_level, mvalid, c_normal, c_min, c_max,
         xy_s, desc_s, level_s, valid_s,
-        jnp.zeros((NN, N), dtype=bool), img_wh, jnp.float32(radius))
+        jnp.zeros((NN, N), dtype=bool), img_wh, jnp.float32(radius),
+        n_levels=n_levels)
     return mp_to_kp_s
 
 
@@ -642,7 +644,15 @@ class MonocularTracker:
         self.map.mp_visible[vis_ids] += 1
         found_ids = feats.mp[feats.mp >= 0]
         self.map.mp_found[found_ids] += 1
-        self.velocity = Tcw_f @ np_geo.inv_T(self.last_Tcw)
+        vel = Tcw_f @ np_geo.inv_T(self.last_Tcw)
+        # a rescue that jumped far (relocalization to a distant keyframe)
+        # yields a one-frame "velocity" that would catapult the next
+        # prediction — the reference clears mVelocity after relocalization
+        # (Tracking.cc:1347); keep it only when the jump is frame-scale
+        prev = float(np.linalg.norm(self.velocity[:3, 3]))
+        if float(np.linalg.norm(vel[:3, 3])) > max(5.0 * prev, 0.1):
+            vel = np.eye(4, dtype=np.float32)
+        self.velocity = vel
         self.last_Tcw = Tcw_f
         self.tracked_inliers = n_in2
         return True
@@ -670,6 +680,7 @@ class MonocularTracker:
             fd.get("level", feats.level), fd.get("valid", feats.valid),
             jnp.asarray(feats.mp >= 0),
             self._img_wh_dev, jnp.float32(cfg.match_radius_local),
+            n_levels=cfg.n_levels,
         )
         mp_to_kp2 = np.array(mp_to_kp2)
         ok2 = mp_to_kp2 >= 0
@@ -824,7 +835,11 @@ class MonocularTracker:
             jnp.asarray(self.K), jnp.asarray(samples),
         )
         n_in = int(n_in)
-        if n_in < self.cfg.min_inliers_track:
+        # relocalization accepts only a STRONG pose (nGood > 50,
+        # Tracking::Relocalization, Tracking.cc:2958-2997): a weakly
+        # supported PnP fit here teleports the tracker and poisons the
+        # motion model for several frames
+        if n_in < max(50, self.cfg.min_inliers_track):
             return False
         inlier = np.array(inlier)
         feats.mp = np.full(len(feats.valid), -1, dtype=np.int32)
@@ -845,7 +860,19 @@ class MonocularTracker:
         since = fid - self.last_kf_frame_id
         if since < 1:
             return False
-        ref_tracked = int((self.map.kf_kp_mp[self.ref_kf] >= 0).sum()) if self.ref_kf >= 0 else 0
+        # nRefMatches counts the reference KF's points with >= 3 observations
+        # (TrackedMapPoints(nMinObs), Tracking::NeedNewKeyFrame + KeyFrame.cc:
+        # 536-556) — NOT every association: freshly triangulated 2-obs points
+        # would otherwise inflate the baseline and fire a keyframe every
+        # frame, collapsing triangulation baselines and swamping mapping.
+        min_obs = 3 if len(self.map.kf_ids()) > 2 else 2
+        if self.ref_kf >= 0:
+            mp = self.map.kf_kp_mp[self.ref_kf]
+            ids = mp[mp >= 0]
+            ids = ids[self.map.mp_valid[ids]]
+            ref_tracked = int((self.map.mp_nobs[ids] >= min_obs).sum())
+        else:
+            ref_tracked = 0
         if ref_tracked == 0:
             # reference keyframe gone (culled/evicted) — re-anchor now
             return self.tracked_inliers > 15
@@ -952,6 +979,17 @@ class MonocularTracker:
         self.map.kf_kp_mp[k, : len(feats.mp)] = feats.mp
         obs = feats.mp >= 0
         self.map.mp_nobs[feats.mp[obs]] += 1
+        # refresh stored descriptors/levels of re-observed points to THIS
+        # keyframe's view (ComputeDistinctiveDescriptors analog, MapPoint.cc
+        # :191-244 — the reference picks the median-distance descriptor over
+        # all observations; the latest view is the cheap recency-weighted
+        # stand-in). Without this, creation-time descriptors decorrelate as
+        # the viewpoint moves and per-frame matching decays over time.
+        kp_idx = np.where(obs)[0]
+        ids = feats.mp[kp_idx]
+        live = self.map.mp_valid[ids]
+        self.map.mp_desc[ids[live]] = feats.desc[kp_idx[live]]
+        self.map.mp_level[ids[live]] = feats.level[kp_idx[live]]
         self.ref_kf = k
         self.last_kf_frame_id = fid
 
@@ -979,13 +1017,33 @@ class MonocularTracker:
         counts = self.map.covisibility_counts(k)
         order = np.argsort(-counts)
         local = [k] + [int(i) for i in order[: cfg.local_ba_kfs - 1] if counts[i] >= 15]
-        kf_all = self.map.kf_ids()
-        fixed = [int(i) for i in kf_all if i not in local]
-        # cap fixed ring size for the BA problem; the solve stays IN FLIGHT
-        # until the next mapping event — tracking continues on the pre-BA
-        # map meanwhile, exactly like the reference's async mapping thread
-        self._pending_ba = self._local_ba_dispatch(
-            local, fixed=fixed[: cfg.local_ba_kfs])
+        # fixed ring = every keyframe that OBSERVES a local point but is
+        # not itself local (Optimizer.cc:840-870 lFixedCameras). Choosing
+        # the fixed set any other way (e.g. oldest slots) can leave the
+        # local window without a single co-observing anchor — the mono
+        # gauge then leaks and local BA drifts the map scale mid-run.
+        m = self.map
+        loc_mp = np.unique(np.concatenate(
+            [m.kf_kp_mp[kf][m.kf_kp_mp[kf] >= 0] for kf in local]))
+        loc_mp = loc_mp[m.mp_valid[loc_mp]]
+        if len(loc_mp):
+            obs_kf, _, _ = m.observations_of(loc_mp)
+            fixed = [int(i) for i in np.unique(obs_kf) if i not in local]
+        else:
+            fixed = []
+        # the OLDEST keyframe is always fixed, even when covisible/local
+        # (Optimizer.cc:806-838 pKF->mnId==0 vertices are set fixed): the
+        # gauge must anchor to the SAME old camera across events — falling
+        # back to fixing the newest pose re-gauges the map around the
+        # least-certain estimate and random-walks the mono scale per KF
+        oldest = min((int(i) for i in m.kf_ids()),
+                     key=lambda i: int(m.kf_frame_id[i]))
+        if oldest not in fixed:
+            fixed.append(oldest)
+        # the solve stays IN FLIGHT until the next mapping event — tracking
+        # continues on the pre-BA map meanwhile, exactly like the
+        # reference's async mapping thread
+        self._pending_ba = self._local_ba_dispatch(local, fixed=fixed)
         self._cull_keyframes()
         self._refresh_mp_geometry(self.map.mp_ids())
 
@@ -1014,7 +1072,7 @@ class MonocularTracker:
         for cand in self.loop_detector.detect(k, covisible)[:3]:
             if not m.kf_valid[cand]:
                 continue
-            ver = lc.verify_loop_sim3(m, k, cand, seed=self.frame_id)
+            ver = lc.verify_loop_sim3(m, k, cand, K=self.K, seed=self.frame_id)
             if ver is None:
                 continue
             s, R, t, n_in = ver
@@ -1030,7 +1088,18 @@ class MonocularTracker:
             self.loop_edges.append((int(cand), int(k)))
             self._search_and_fuse_loop(k, cand)
             if self.cfg.loop_global_ba:
+                # global BA refines keyframe poses AGAIN after the Sim3
+                # correction; world-frame extras (object landmarks) must
+                # ride that second move too, or they stay anchored to the
+                # pre-GBA poses
+                pre_gba = {int(kf): m.kf_tcw[kf].astype(np.float64).copy()
+                           for kf in m.kf_ids()}
                 self.global_ba()
+                self._on_loop_corrected({
+                    kf: (m.kf_tcw[kf].astype(np.float64), old, 1.0)
+                    for kf, old in pre_gba.items()
+                    if m.kf_valid[kf]
+                    and not np.allclose(m.kf_tcw[kf], old, atol=1e-7)})
             self.last_Tcw = m.kf_tcw[k].copy()
             self.velocity = np.eye(4, dtype=np.float32)
             self.loops_closed += 1
@@ -1072,6 +1141,7 @@ class MonocularTracker:
             jnp.asarray(m.kf_kp_level[k]), jnp.asarray(m.kf_kp_valid[k]),
             jnp.zeros(m.n_kp, dtype=bool),
             jnp.asarray(self.img_wh), jnp.float32(radius),
+            n_levels=self.cfg.n_levels,
         )
         mp_to_kp = np.array(mp_to_kp)
         sel = np.where(mp_to_kp >= 0)[0]
@@ -1088,15 +1158,22 @@ class MonocularTracker:
                 m.replace_mp(existing, mp)
 
     def _cull_map_points(self, new_kf):
-        """MapPointCulling (LocalMapping.cc:249-318), simplified: erase map
-        points with poor found/visible ratio or too few observations soon
-        after creation."""
+        """MapPointCulling (LocalMapping.cc:249-318): the found/visible
+        ratio and min-observation tests apply ONLY to points still in their
+        creation probation window (the reference iterates
+        mlpRecentAddedMapPoints — points within ~3 keyframes of creation).
+        Applying the ratio test to the whole map every keyframe erases the
+        MATURE map from under the tracker: with a bounded per-frame
+        candidate set, in-frustum points legitimately go unmatched for a
+        few frames, accumulate visible-without-found, and would be wrongly
+        culled — the map then evaporates after ~15 frames."""
         m = self.map
+        age = m.kf_seq - m.mp_birth  # in keyframes
+        recent = m.mp_valid & (age <= 3)
         ratio = m.mp_found / np.maximum(m.mp_visible, 1)
-        recent = (m.mp_first_kf >= 0) & m.mp_valid
-        bad = m.mp_valid & (
+        bad = recent & (
             ((m.mp_visible >= 4) & (ratio < 0.25))
-            | (recent & (m.mp_visible >= 6) & (m.mp_nobs < 2))
+            | ((age >= 2) & (m.mp_nobs <= 2))
         )
         if bad.any():
             m.erase_mp(np.where(bad)[0])
@@ -1118,6 +1195,24 @@ class MonocularTracker:
         free_k = m.kf_kp_valid[k] & (m.kf_kp_mp[k] < 0)
         neighbors = [nb for nb in neighbors
                      if (m.kf_kp_valid[nb] & (m.kf_kp_mp[nb] < 0)).sum() >= 5]
+        # mono baseline gate (LocalMapping.cc:389-398): triangulating across
+        # a baseline under 1% of the median scene depth produces points with
+        # unbounded depth error that poison tracking — skip those neighbors.
+        mp = m.kf_kp_mp[k]
+        ids = mp[mp >= 0]
+        ids = ids[m.mp_valid[ids]]
+        if len(ids) >= 10:
+            Tcw_k = m.kf_tcw[k]
+            z = (m.mp_pos[ids] @ Tcw_k[:3, :3].T + Tcw_k[:3, 3])[:, 2]
+            med_depth = float(np.median(z[z > 0])) if (z > 0).any() else 0.0
+            if med_depth > 0:
+                ck = -(Tcw_k[:3, :3].T @ Tcw_k[:3, 3])
+                def _baseline(nb):
+                    Tn = m.kf_tcw[nb]
+                    return float(np.linalg.norm(
+                        -(Tn[:3, :3].T @ Tn[:3, 3]) - ck))
+                neighbors = [nb for nb in neighbors
+                             if _baseline(nb) / med_depth >= 0.01]
         if not neighbors or free_k.sum() < 5:
             return None
 
@@ -1226,7 +1321,7 @@ class MonocularTracker:
             pad_valid])
         dev_out = _fuse_packed(
             jnp.asarray(buf), self._K_dev, self._img_wh_dev,
-            NN=NN, M=M, N=m.n_kp)
+            NN=NN, M=M, N=m.n_kp, n_levels=self.cfg.n_levels)
         return dev_out, order, cand
 
     def _fuse_neighbors_apply(self, k, pend):
@@ -1306,12 +1401,25 @@ class MonocularTracker:
         ok = (ref >= 0) & m.kf_valid[np.clip(ref, 0, None)]
         uniq, ref = uniq[ok], ref[ok]
         dist = np.linalg.norm(m.mp_pos[uniq] - centers[ref], axis=1)
-        m.mp_max_dist[uniq] = dist * (trk.SCALE_FACTOR ** m.mp_level[uniq]) * 1.2
+        # mfMaxDistance = dist * 1.2^level, mfMinDistance = max / 1.2^(L-1)
+        # (MapPoint::UpdateNormalAndDepth) — the 0.8/1.2 frustum slack is
+        # applied at the gate, NOT baked in here; PredictScale divides by
+        # this unbiased bound, so an extra 1.2 would shift every predicted
+        # octave up by one and misplace the projection windows
+        m.mp_max_dist[uniq] = dist * (trk.SCALE_FACTOR ** m.mp_level[uniq])
         m.mp_min_dist[uniq] = m.mp_max_dist[uniq] / (
-            trk.SCALE_FACTOR ** self.cfg.n_levels) / 1.2
+            trk.SCALE_FACTOR ** (self.cfg.n_levels - 1))
 
     # ------------------------------------------------------------------
-    def _local_ba(self, local_kfs, fixed, kf_cap=16, pt_cap=2048):
+    @staticmethod
+    def _bucket_pow2(n, lo, hi):
+        """Smallest pow2 >= n, clamped to [lo, hi] — pads kernel shapes to a
+        handful of buckets so a growing map triggers at most log2(hi/lo)
+        recompiles instead of one per size."""
+        b = max(lo, 1 << int(np.ceil(np.log2(max(int(n), 1)))))
+        return int(min(b, hi))
+
+    def _local_ba(self, local_kfs, fixed, kf_cap=None, pt_cap=None):
         """Synchronous dispatch + apply (global BA, loop closing). The
         keyframe step instead keeps the dispatched solve PENDING and
         applies it at the next mapping event (`_apply_pending_map`) — the
@@ -1342,7 +1450,7 @@ class MonocularTracker:
         self._local_ba_apply(p)
         self._bump_map()
 
-    def _local_ba_dispatch(self, local_kfs, fixed, kf_cap=16, pt_cap=2048):
+    def _local_ba_dispatch(self, local_kfs, fixed, kf_cap=None, pt_cap=None):
         cfg = self.cfg
         m = self.map
         kfs = list(dict.fromkeys(list(local_kfs) + list(fixed)))
@@ -1357,11 +1465,13 @@ class MonocularTracker:
         kf_idx, kp_idx, mp_idx = m.observations_of(mp_set)
         keep = np.isin(kf_idx, kfs)
         kf_idx, kp_idx, mp_idx = kf_idx[keep], kp_idx[keep], mp_idx[keep]
-        # ONE edge capacity (no buckets): every distinct shape is a separate
-        # multi-second XLA compile that would spike mid-run the first time a
-        # growing map crosses a bucket boundary; the padded tail costs only
-        # ~0.25 MB of upload (~5 ms through the tunnel) and masked FLOPs
-        E = cfg.max_obs_edges
+        # pow2-bucketed edge capacity sized to the REAL edge count: the
+        # reference never drops observations (Optimizer.cc:826-1534), and a
+        # fixed cap silently leaves part of the map unoptimized — stale
+        # points then decay tracking as poses move away from them. Buckets
+        # bound recompiles to log2(range); cfg.max_obs_edges is the floor.
+        E = self._bucket_pow2(len(kf_idx), cfg.max_obs_edges,
+                              max(cfg.max_obs_edges, m.max_kf * m.n_kp))
         n_e = min(len(kf_idx), E)
         if len(kf_idx) > E:
             logger.warning("local BA: clipping %d -> %d observation edges",
@@ -1389,8 +1499,12 @@ class MonocularTracker:
         obs_z[:n_e] = np.where(has_z, z, 0.0)
         obs_z_si[:n_e] = np.where(has_z, obs_si[:n_e], 0.0)
 
-        KF_CAP = kf_cap
-        PT_CAP = pt_cap
+        # keyframe/point capacities likewise bucket to the real problem size
+        # (local windows stay at the 16 floor; global BA grows to the map)
+        KF_CAP = (kf_cap if kf_cap is not None
+                  else self._bucket_pow2(len(kfs), 16, m.max_kf))
+        PT_CAP = (pt_cap if pt_cap is not None
+                  else self._bucket_pow2(len(mp_set), 2048, m.max_mp))
         nk = min(len(kfs), KF_CAP)
         npt = min(len(mp_set), PT_CAP)
         if len(kfs) > KF_CAP:
@@ -1402,9 +1516,11 @@ class MonocularTracker:
         kf_fixed = np.ones(KF_CAP, dtype=bool)
         for i, k in enumerate(kfs[:nk]):
             kf_fixed[i] = k in fixed
-        # always anchor at least one camera
+        # always anchor at least one camera — the OLDEST in the problem,
+        # never the newest (anchoring the freshest pose re-gauges the map
+        # around the least-certain estimate, see _create_keyframe)
         if not kf_fixed[:nk].any():
-            kf_fixed[0] = True
+            kf_fixed[int(np.argmin(m.kf_frame_id[kfs[:nk]]))] = True
         pts = np.zeros((PT_CAP, 3), dtype=np.float32)
         pts[:npt] = m.mp_pos[mp_set[:npt]]
         pt_valid = np.zeros(PT_CAP, dtype=bool)
@@ -1470,12 +1586,9 @@ class MonocularTracker:
         if len(kfs) < 2:
             return
         oldest = min(kfs)
-        n_mp = int(self.map.mp_valid.sum())
-        # size the padded problem to the live map (rounded up) so global BA
-        # never silently drops points
-        pt_cap = max(2048, 1 << int(np.ceil(np.log2(max(n_mp, 1)))))
-        self._local_ba(kfs, fixed=[oldest], kf_cap=max(16, self.cfg.max_kf),
-                       pt_cap=min(pt_cap, self.cfg.max_mp))
+        # capacities bucket to the live map inside _local_ba_dispatch —
+        # global BA never silently drops keyframes or points
+        self._local_ba(kfs, fixed=[oldest])
         self._bump_map()
 
     def _cull_keyframes(self, keep_latest=2, redundancy=0.9):
@@ -1854,8 +1967,17 @@ class ObjectSlamTracker(MonocularTracker):
             pose_cam = old_Tcw @ st.pose[o].astype(np.float64)
             pose_cam[:3, 3] /= s_ref
             st.pose[o] = (np_geo.inv_T(new_Tcw) @ pose_cam).astype(np.float32)
+            # fix_scale landmarks carry a METRIC prior (e.g. the KITTI car
+            # size) — their extent intentionally does NOT follow a mono
+            # Sim3 rescale, so after a correction with s far from 1 they
+            # are temporarily inconsistent with their owned points until
+            # the next object BA re-converges the surrounding geometry.
             if not st.fix_scale[o]:
                 st.scale[o] = (st.scale[o] / s_ref).astype(np.float32)
+            elif abs(s_ref - 1.0) > 0.1:
+                logger.warning(
+                    "loop Sim3 scale %.3f rescaled the map around fixed-"
+                    "scale object %d; its metric extent is kept", s_ref, o)
 
     def _object_ba(self, k):
         """Joint local BA with objects (replaces the plain point BA result
@@ -1922,12 +2044,16 @@ class ObjectSlamTracker(MonocularTracker):
         kf_tcw = np.tile(np.eye(4, dtype=np.float32), (KF_CAP, 1, 1))
         kf_tcw[:nk] = m.kf_tcw[local[:nk]]
         kf_fixed = np.ones(KF_CAP, dtype=bool)
-        all_kf = set(int(x) for x in m.kf_ids())
-        oldest = min(all_kf) if all_kf else 0
+        all_kf = [int(x) for x in m.kf_ids()]
+        # oldest by FRAME id (slot recycling breaks slot==temporal order);
+        # anchoring the newest pose instead would re-gauge the map around
+        # the least-certain estimate (see _create_keyframe)
+        oldest = (min(all_kf, key=lambda i: int(m.kf_frame_id[i]))
+                  if all_kf else 0)
         for i, kf in enumerate(local[:nk]):
             kf_fixed[i] = kf == oldest
         if not kf_fixed[:nk].any():
-            kf_fixed[0] = True
+            kf_fixed[int(np.argmin(m.kf_frame_id[local[:nk]]))] = True
         pts = np.zeros((PT_CAP, 3), dtype=np.float32)
         pts[:npt] = m.mp_pos[mp_set[:npt]]
         pt_valid = np.zeros(PT_CAP, dtype=bool)

@@ -45,12 +45,33 @@ def _project_batch(Tcw, K, pts):
     return uv, z
 
 
-@functools.partial(jax.jit, static_argnames=())
+def predicted_level(dist, mp_max_dist, n_levels, mp_level=None):
+    """Scale level PREDICTED from the current viewing distance
+    (MapPoint::PredictScale, MapPoint.cc:350-365): the octave this point
+    would be detected at from here. Projection windows must use this, not
+    the stored creation octave — as the camera approaches/recedes the
+    point's apparent scale moves and a creation-level window misses it.
+
+    Points whose scale bounds were never set (mp_max_dist at the 1e9
+    initialization default — hand-built maps, fresh depth-backed points
+    before the first refresh) fall back to their stored octave when
+    `mp_level` is given."""
+    ratio = jnp.maximum(mp_max_dist, 1e-9) / jnp.maximum(dist, 1e-9)
+    lvl = jnp.ceil(jnp.log(jnp.maximum(ratio, 1e-9)) / jnp.log(SCALE_FACTOR))
+    lvl = jnp.clip(lvl, 0, n_levels - 1).astype(jnp.int32)
+    if mp_level is not None:
+        lvl = jnp.where(mp_max_dist < 1e8, lvl, mp_level)
+    return lvl
+
+
+@functools.partial(jax.jit, static_argnames=("n_levels",))
 def track_pose(
     Tcw_pred, K,
     mp_pos, mp_desc, mp_level, mp_valid,         # (M, ...) candidate map points
     kp_xy, kp_desc, kp_level, kp_valid,          # (N, ...) frame keypoints
     radius, img_wh,
+    mp_max_dist=None,
+    n_levels: int = 8,
 ):
     """Project candidates with the predicted pose, window-match, optimize.
 
@@ -63,11 +84,18 @@ def track_pose(
     )
     cand = mp_valid & in_img
 
-    # window radius scales with the map point's reference octave
-    # (SearchByProjection: th * scaleFactor^level)
-    r = radius * SCALE_FACTOR ** mp_level.astype(jnp.float32)
+    # window level/radius from the DISTANCE-PREDICTED octave when scale
+    # bounds are available (SearchByProjection: th * scaleFactor^level with
+    # nPredictedLevel, ORBmatcher.cc:1373-1470), else the stored octave
+    if mp_max_dist is not None:
+        Twc_t = -(Tcw_pred[:3, :3].T @ Tcw_pred[:3, 3])
+        dist = jnp.linalg.norm(mp_pos - Twc_t, axis=1)
+        lvl = predicted_level(dist, mp_max_dist, n_levels, mp_level)
+    else:
+        lvl = mp_level
+    r = radius * SCALE_FACTOR ** lvl.astype(jnp.float32)
     d = matching.hamming_matrix(mp_desc, kp_desc, cand, kp_valid)
-    wm = matching.window_mask(uv, kp_xy, r, mp_level, kp_level, level_slack=1)
+    wm = matching.window_mask(uv, kp_xy, r, lvl, kp_level, level_slack=1)
     d = jnp.where(wm, d, matching.BIG)
     mp_to_kp, dist = matching.match_mutual_ratio(
         d, max_dist=matching.TH_HIGH, ratio=0.9, mutual=False
@@ -84,12 +112,13 @@ def track_pose(
     return Tcw, jnp.where(inlier, mp_to_kp, -1), inlier, n_in, mp_to_kp
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=("n_levels",))
 def search_local_points(
     Tcw, K,
     mp_pos, mp_desc, mp_level, mp_valid, mp_normal, mp_min_dist, mp_max_dist,
     kp_xy, kp_desc, kp_level, kp_valid, kp_taken,
     img_wh, radius,
+    n_levels: int = 8,
 ):
     """Frustum-culled whole-map projection search (SearchLocalPoints +
     SearchByProjection frame variant). kp_taken marks keypoints already
@@ -108,8 +137,12 @@ def search_local_points(
         & (viewcos > 0.5)  # 60 deg (Frame::isInFrustum)
     )
     d = matching.hamming_matrix(mp_desc, kp_desc, visible, kp_valid & (~kp_taken))
-    r = radius * SCALE_FACTOR ** mp_level.astype(jnp.float32)
-    wm = matching.window_mask(uv, kp_xy, r, mp_level, kp_level, level_slack=1)
+    # distance-predicted octave for the window (Frame::isInFrustum computes
+    # mnTrackScaleLevel = PredictScale(dist); SearchByProjection then uses
+    # it for the radius and the [l-1, l] level gate)
+    lvl = predicted_level(dist, mp_max_dist, n_levels, mp_level)
+    r = radius * SCALE_FACTOR ** lvl.astype(jnp.float32)
+    wm = matching.window_mask(uv, kp_xy, r, lvl, kp_level, level_slack=1)
     d = jnp.where(wm, d, matching.BIG)
     mp_to_kp, _ = matching.match_mutual_ratio(
         d, max_dist=matching.TH_HIGH, ratio=0.8, mutual=True
@@ -117,7 +150,7 @@ def search_local_points(
     return mp_to_kp, visible
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=("n_levels",))
 def track_frame_fused(
     Tcw_pred, K,
     cand_ids, cand_valid,                          # (C,) map-point ids + mask
@@ -125,6 +158,7 @@ def track_frame_fused(
     mp_normal, mp_min_dist, mp_max_dist,
     kp_xy, kp_desc, kp_level, kp_valid,            # frame keypoints (N, ...)
     radius_motion, radius_local, img_wh,
+    n_levels: int = 8,
 ):
     """The whole happy-path of Tracking::Track's per-frame pipeline as ONE
     device program: motion-model candidate tracking (track_pose), local-map
@@ -147,10 +181,12 @@ def track_frame_fused(
     cand_pos = mp_pos[cand_ids]
     cand_desc = mp_desc[cand_ids]
     cand_level = mp_level[cand_ids]
+    cand_max_dist = mp_max_dist[cand_ids]
 
     Tcw1, mp_to_kp, _inl1, n_in, raw = track_pose(
         Tcw_pred, K, cand_pos, cand_desc, cand_level, cand_valid,
-        kp_xy, kp_desc, kp_level, kp_valid, radius_motion, img_wh)
+        kp_xy, kp_desc, kp_level, kp_valid, radius_motion, img_wh,
+        mp_max_dist=cand_max_dist, n_levels=n_levels)
 
     # kp -> global map id from the motion stage (scatter, dummy slot N)
     kp_mp = jnp.full((N + 1,), -1, dtype=jnp.int32)
@@ -164,7 +200,7 @@ def track_frame_fused(
         Tcw1, K, mp_pos, mp_desc, mp_level, mp_valid, mp_normal,
         mp_min_dist, mp_max_dist,
         kp_xy, kp_desc, kp_level, kp_valid, kp_mp[:N] >= 0,
-        img_wh, radius_local)
+        img_wh, radius_local, n_levels=n_levels)
     m2 = mp_to_kp2 >= 0
     tgt2 = jnp.where(m2, jnp.clip(mp_to_kp2, 0, None), N)
     kp_mp = kp_mp.at[tgt2].set(
@@ -264,7 +300,8 @@ def step_frame(
         mp_pos, mp_desc, mp_level, mp_valid, mp_normal,
         mp_min_dist, mp_max_dist,
         kp_xy, kp_desc, kp_level, kp_valid,
-        jnp.float32(radius_motion), jnp.float32(radius_local), img_wh)
+        jnp.float32(radius_motion), jnp.float32(radius_local), img_wh,
+        n_levels=orb_cfg.n_levels)
 
     ok = (n_in >= min_track) & (n_in2 >= min_local)
     okf = ok.astype(jnp.float32)
@@ -386,17 +423,17 @@ def triangulate_multi(Tcw1, Tcw2_stack, K,
               kp2_xy_s, kp2_desc_s, kp2_level_s, kp2_free_s)
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=("n_levels",))
 def search_local_points_multi(Tcw_stack, K,
                               mp_pos, mp_desc, mp_level, mp_valid,
                               mp_normal, mp_min_dist, mp_max_dist,
                               kp_xy_s, kp_desc_s, kp_level_s, kp_valid_s,
-                              kp_taken_s, img_wh, radius):
+                              kp_taken_s, img_wh, radius, n_levels=8):
     """search_local_points vmapped over a stack of target keyframes (the
     SearchInNeighbors fusion projects one candidate set into several
     covisible keyframes — one program instead of one per neighbor)."""
     fn = jax.vmap(
-        search_local_points,
+        functools.partial(search_local_points, n_levels=n_levels),
         in_axes=(0, None, None, None, None, None, None, None, None,
                  0, 0, 0, 0, 0, None, None))
     return fn(Tcw_stack, K, mp_pos, mp_desc, mp_level, mp_valid,

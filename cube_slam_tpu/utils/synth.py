@@ -32,9 +32,13 @@ def value_noise_texture(size=1024, octaves=5, seed=0, contrast=1.0):
             + grid[i1][:, i1] * f[:, None] * f[None, :]
         tex += row / 2**o
     tex = (tex - tex.min()) / (tex.max() - tex.min())
-    # add blocky high-contrast patches (corner features)
-    blocks = rng.uniform(0, 1, (64, 64)) > 0.5
-    rep = size // 64
+    # add blocky high-contrast patches (corner features). Blocks carry
+    # CONTINUOUS random intensities on a fine grid: a coarse BINARY grid
+    # is adversarially self-similar — a descriptor patch spanning ~2x2
+    # binary cells carries only a few bits and every corner aliases every
+    # other, which no real-world surface does
+    blocks = rng.uniform(0, 1, (128, 128))
+    rep = size // 128
     tex = 0.6 * tex + 0.4 * np.kron(blocks, np.ones((rep, rep)))
     tex = 0.5 + contrast * (tex - 0.5)
     return np.clip(tex * 255.0, 0, 255).astype(np.float32)
@@ -47,8 +51,12 @@ class RoomScene:
     ground-truth pose/scale). World units meters; textures tile every
     `tex_scale` meters."""
 
-    def __init__(self, wall_y=6.0, half_x=4.0, height=3.0, tex_scale=4.0, seed=0,
+    def __init__(self, wall_y=6.0, half_x=4.0, height=3.0, tex_scale=8.0, seed=0,
                  box_center=None, box_half=None, box_yaw=0.0):
+        # tex_scale defaults to the full room extent (8 m): a texture that
+        # tiles WITHIN the field of view puts two identical copies of every
+        # corner in one image — global perceptual aliasing no descriptor
+        # can disambiguate, which no real room exhibits at exact-copy level
         self.wall_y = wall_y
         self.half_x = half_x
         self.height = height
@@ -122,10 +130,11 @@ class RoomScene:
         v = P[..., 1] + 2.0 * P[..., 2]
         return t, np.stack([u, v], axis=-1), hit
 
-    def _sample(self, tex, u, v):
+    def _sample(self, tex, u, v, tex_scale=None):
         size = tex.shape[0]
-        uu = (u / self.tex_scale % 1.0) * (size - 1)
-        vv = (v / self.tex_scale % 1.0) * (size - 1)
+        ts = self.tex_scale if tex_scale is None else tex_scale
+        uu = (u / ts % 1.0) * (size - 1)
+        vv = (v / ts % 1.0) * (size - 1)
         u0 = np.floor(uu).astype(int)
         v0 = np.floor(vv).astype(int)
         fu = uu - u0
@@ -185,7 +194,10 @@ class RoomScene:
             tb, uvb, hitb = self._box_hits(c, rays)
             occ = hitb & (tb < best_t)
             if occ.any():
-                vals = self._sample(self.box_tex, uvb[..., 0][occ], uvb[..., 1][occ])
+                # the box samples at its own (fine) scale: the room-extent
+                # tile would leave a ~1 m object nearly textureless
+                vals = self._sample(self.box_tex, uvb[..., 0][occ],
+                                    uvb[..., 1][occ], tex_scale=2.0)
                 img[occ] = vals
                 best_t[occ] = tb[occ]
             box_mask = occ
@@ -199,13 +211,20 @@ class RoomScene:
         return img
 
 
-def camera_path(n_frames, kind="arc", seed=0, target=None):
+def camera_path(n_frames, kind="arc", seed=0, target=None, s_values=None):
     """Smooth camera trajectory inside the room, looking toward the back
     wall (or at `target` when kind="orbit"). Returns (N, 4, 4) Twc
-    (camera x right, y down, z forward)."""
+    (camera x right, y down, z forward).
+
+    `s_values`: optional per-frame path parameters in [0, 1] replacing the
+    default uniform sweep — e.g. a cosine time-warp 0.5-0.5*cos(2*pi*t)
+    gives a there-and-back run whose velocity passes smoothly through zero
+    at the turnaround (an instant reversal defeats any constant-velocity
+    motion model, including the reference's)."""
     poses = []
     for i in range(n_frames):
-        s = i / max(n_frames - 1, 1)
+        s = (float(s_values[i]) if s_values is not None
+             else i / max(n_frames - 1, 1))
         if kind == "arc":
             x = -1.5 + 3.0 * s
             y = 1.0 + 0.8 * np.sin(np.pi * s)

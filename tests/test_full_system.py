@@ -36,9 +36,14 @@ BOX_HALF = np.array([0.6, 0.4, 0.45])
 
 def test_everything_on_objects_loop_scale():
     scene = synth.RoomScene(seed=3, box_center=BOX_CENTER, box_half=BOX_HALF)
-    fwd = synth.camera_path(31, kind="orbit", target=[0.0, 3.2, 0.6])
-    poses = np.concatenate([fwd, fwd[::-1][1:]])  # 61 frames, ends at start
-    N = len(poses)
+    # there-and-back orbit with a COSINE time warp: velocity passes smoothly
+    # through zero at the turnaround instead of reversing instantly (an
+    # instant reversal defeats the constant-velocity motion model and loses
+    # tracking at the apex)
+    N = 61
+    ss = 0.5 - 0.5 * np.cos(np.linspace(0.0, 2.0 * np.pi, N))
+    poses = synth.camera_path(N, kind="orbit", target=[0.0, 3.2, 0.6],
+                              s_values=ss)  # ends at start
 
     cfg = TrackerConfig(n_features=800, n_levels=3, max_kf=48, max_mp=8192,
                         min_init_kps=80, min_init_matches=80,

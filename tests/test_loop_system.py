@@ -96,9 +96,14 @@ def test_tracker_closes_drifted_loop():
         m.mp_desc[ids] = base_desc
         m.mp_first_kf[ids] = k
         m.mp_nobs[ids] = 1
-        m.mp_max_dist[ids] = 100.0
         cam_c = np.linalg.inv(est_tcw[i].astype(np.float64))[:3, 3]
         view = p_est - cam_c
+        # scale bounds as UpdateNormalAndDepth produces them for level-0
+        # keypoints: max = viewing distance (the projection search derives
+        # its predicted-octave window from this — an arbitrary large bound
+        # would predict a nonexistent high octave and kill every match)
+        m.mp_max_dist[ids] = np.linalg.norm(view, axis=1)
+        m.mp_min_dist[ids] = m.mp_max_dist[ids] / 1.2 ** 7
         m.mp_normal[ids] = (view / np.linalg.norm(view, axis=1, keepdims=True)
                             ).astype(np.float32)
         mp_ids_of_kf.append(ids)

@@ -42,7 +42,11 @@ def test_live_object_slam_short_orbit():
     tracked = sum(1 for _, T in trk.trajectory if T is not None)
     assert tracked >= 0.6 * N, f"tracked only {tracked}/{N}"
     # the live detector must have produced measurements and a landmark
-    assert len(trk.objects.detections) >= 2
+    # (count landmark-attached measurements + still-pending candidates —
+    # `detections` alone holds only unpromoted candidates and empties when
+    # association works)
+    n_meas = sum(len(dq) for dq in trk.objects.meas.values())
+    assert n_meas + len(trk.objects.detections) >= 2
     assert trk.objects.store.valid.any(), "no object landmark promoted"
     # monocular metric scale anchored from the object's detected depth
     assert trk.mono_scale_initialized
