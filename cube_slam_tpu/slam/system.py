@@ -118,13 +118,16 @@ def _triangulate_packed(buf, K, NB, N):
              ((N, 2), jnp.float32), ((N, 8), jnp.uint32), ((N,), jnp.int32),
              ((N,), jnp.bool_),
              ((NB, N, 2), jnp.float32), ((NB, N, 8), jnp.uint32),
-             ((NB, N), jnp.int32), ((NB, N), jnp.bool_)]
+             ((NB, N), jnp.int32), ((NB, N), jnp.bool_),
+             ((N,), jnp.float32), ((NB, N), jnp.float32)]
     (Tcw1, Tcw2, kp_xy, kp_desc, kp_level, free_k,
-     xy_s, desc_s, level_s, free_s) = hostpack.unpack_device(buf, specs)
+     xy_s, desc_s, level_s, free_s, ang_k, ang_s) = \
+        hostpack.unpack_device(buf, specs)
     from . import tracking as trk_mod
     X_s, m12_s, ok_s = trk_mod.triangulate_multi(
         Tcw1, Tcw2, K, kp_xy, kp_desc, kp_level, free_k,
-        xy_s, desc_s, level_s, free_s)
+        xy_s, desc_s, level_s, free_s,
+        kp1_angle=ang_k, kp2_angle_s=ang_s)
     return jnp.concatenate([X_s.reshape(-1), m12_s.astype(jnp.float32).reshape(-1),
                             ok_s.astype(jnp.float32).reshape(-1)])
 
@@ -301,6 +304,9 @@ class MonocularTracker:
         self._pending = None
         # in-flight local BA from the last keyframe step (_apply_pending_map)
         self._pending_ba = None
+        # last tracked frame's pose relative to its reference keyframe
+        # (motion-model re-anchor after async BA folds)
+        self._last_rel = None
         self._sup_dummy = None
         # optional structured per-frame metrics (utils/metrics.MetricsRecorder)
         self.metrics = None
@@ -909,6 +915,7 @@ class MonocularTracker:
         self.tracked_inliers = 0
         self.loop_detector = LoopDetector(min_gap_kfs=self.cfg.loop_min_gap_kfs)
         self.loop_edges = []
+        self._last_rel = None
         # drop stale device counter deltas along with the map
         self._mirror.vis_acc = None
         self._mirror.found_acc = None
@@ -1239,7 +1246,7 @@ class MonocularTracker:
             m.kf_tcw[k], Tcw2, m.kf_kp_xy[k], m.kf_kp_desc[k],
             m.kf_kp_level[k], free_k,
             stack(m.kf_kp_xy), stack(m.kf_kp_desc), stack(m.kf_kp_level),
-            free_nb])
+            free_nb, m.kf_kp_angle[k], stack(m.kf_kp_angle)])
         dev_out = _triangulate_packed(jnp.asarray(buf), self._K_dev,
                                       NB=NB, N=N)
         return dev_out, neighbors, NB, N
@@ -1256,6 +1263,30 @@ class MonocularTracker:
         X_s = out[:o1].reshape(NB, N, 3)
         m12_s = out[o1:o2].reshape(NB, N).astype(np.int32)
         ok_s = out[o2:].reshape(NB, N) > 0.5
+        # cross-neighbor agreement: a keypoint triangulated against two or
+        # more neighbors must yield the SAME 3D point. Disagreement means
+        # at least one epipolar match was wrong (wrong matches triangulate
+        # self-consistently per pair, so no per-pair test can catch them)
+        # — reject the keypoint outright. The reference gets an equivalent
+        # effect from projecting each new point into all covisible KFs at
+        # fusion time (LocalMapping.cc:655-831).
+        n_ok = ok_s[: len(neighbors)].sum(0)
+        multi = n_ok >= 2
+        if multi.any():
+            Tk = m.kf_tcw[k]
+            sel = np.where(multi)[0]
+            Xm = X_s[: len(neighbors), sel]           # (nb, S, 3)
+            okm = ok_s[: len(neighbors), sel]         # (nb, S)
+            zk = (Xm @ Tk[:3, :3].T + Tk[:3, 3])[..., 2]
+            wsum = np.where(okm, 1.0, 0.0)
+            mean = (Xm * okm[..., None]).sum(0) / wsum.sum(0)[:, None]
+            spread = np.sqrt(
+                ((np.linalg.norm(Xm - mean[None], axis=2) ** 2) * okm).sum(0)
+                / wsum.sum(0))
+            med_z = np.where(okm, zk, np.nan)
+            zref = np.nanmedian(med_z, axis=0)
+            bad = spread > 0.05 * np.maximum(np.abs(zref), 1e-6)
+            ok_s[:, sel[bad]] = False
         for i, nb in enumerate(neighbors):
             ok = ok_s[i] & free_k
             sel = np.where(ok)[0]
@@ -1448,6 +1479,19 @@ class MonocularTracker:
                 pass
         self._pending_ba = None
         self._local_ba_apply(p)
+        # re-anchor the motion model through the (now BA-corrected)
+        # reference keyframe (Tracking::UpdateLastFrame, Tracking.cc:
+        # 1180-1192: mLastFrame.SetPose(Tlr * pRefKF->GetPose())). Without
+        # this the next prediction carries the PRE-BA gauge against the
+        # POST-BA map — a one-frame pose jump at every fold that seeds
+        # velocity-feedback divergence on marginal scenes.
+        lr = getattr(self, "_last_rel", None)
+        if lr is not None:
+            ref, ref_fid, T_rel = lr
+            if (0 <= ref < self.map.max_kf and self.map.kf_valid[ref]
+                    and int(self.map.kf_frame_id[ref]) == ref_fid):
+                self.last_Tcw = (T_rel @ self.map.kf_tcw[ref]
+                                 .astype(np.float64)).astype(np.float32)
         self._bump_map()
 
     def _local_ba_dispatch(self, local_kfs, fixed, kf_cap=None, pt_cap=None):
@@ -1546,6 +1590,10 @@ class MonocularTracker:
             # slot between dispatch and apply — a mismatch means the result
             # belongs to a keyframe that no longer exists
             kf_fids=m.kf_frame_id[np.asarray(kfs)].copy(),
+            # same for points: a culled slot re-allocated by a later
+            # keyframe's triangulation must NOT receive the dead point's
+            # optimized position
+            mp_births=m.mp_birth[mp_set].copy(),
         )
 
     def _local_ba_apply(self, pend):
@@ -1565,7 +1613,8 @@ class MonocularTracker:
             if (not kf_fixed[i] and m.kf_valid[k]
                     and m.kf_frame_id[k] == pend["kf_fids"][i]):
                 m.kf_tcw[k] = out_tcw[i]
-        live = m.mp_valid[mp_set[:npt]]
+        live = (m.mp_valid[mp_set[:npt]]
+                & (m.mp_birth[mp_set[:npt]] == pend["mp_births"][:npt]))
         m.mp_pos[mp_set[:npt][live]] = out_pts[:npt][live]
         # drop observations flagged as outliers (guard: slot still valid
         # and the association unchanged since dispatch)
@@ -1623,7 +1672,9 @@ class MonocularTracker:
     def _record_pose(self, Tcw, fid=None):
         """Store the frame pose relative to the current reference keyframe
         (SaveTrajectoryTUM's mechanism: corrections applied to keyframes
-        later — loop closing, scale recovery — propagate to every frame)."""
+        later — loop closing, scale recovery — propagate to every frame).
+        Also remembers the LAST frame's relative pose so `_apply_pending_map`
+        can re-anchor the motion model after an async BA fold."""
         fid = self.frame_id if fid is None else fid
         if self.ref_kf >= 0 and self.map.kf_valid[self.ref_kf]:
             T_rel = np.asarray(Tcw, dtype=np.float64) @ np_geo.inv_T(
@@ -1631,6 +1682,8 @@ class MonocularTracker:
             self._traj_rel.append(
                 (fid, int(self.ref_kf),
                  int(self.map.kf_frame_id[self.ref_kf]), T_rel))
+            self._last_rel = (int(self.ref_kf),
+                              int(self.map.kf_frame_id[self.ref_kf]), T_rel)
         else:
             self._traj_rel.append((fid, -1, -1,
                                    np.asarray(Tcw, dtype=np.float64)))

@@ -72,8 +72,20 @@ def track_pose(
     radius, img_wh,
     mp_max_dist=None,
     n_levels: int = 8,
+    Tcw_alt=None,
 ):
     """Project candidates with the predicted pose, window-match, optimize.
+
+    With `Tcw_alt` (the LAST pose, i.e. the zero-velocity hypothesis) the
+    pose LM runs from BOTH seeds and keeps the higher-inlier / lower-cost
+    solution. Near-planar point sets give the pose problem conjugate local
+    minima (the two-fold plane-homography ambiguity); seeding only from the
+    velocity prediction lets a single basin-hop feed back through the
+    motion model and diverge exponentially — the second seed anchors every
+    frame to the previous solution, turning that feedback into a bounded
+    random walk. The reference never needs this because its CPU tracking
+    re-matches against last-frame keypoints, but the failure mode is real
+    on low-depth-variance views (long walls on KITTI, corridors).
 
     Returns (Tcw, mp_to_kp (M,) int32, inlier (M,) bool, n_inlier)."""
     uv, z = _project_batch(Tcw_pred, K, mp_pos)
@@ -106,9 +118,32 @@ def track_pose(
     uv_meas = kp_xy[kp_sel]
     sig = jnp.sqrt(level_sigma2(kp_level[kp_sel]))
     sqrt_info = 1.0 / sig
-    Tcw, inlier, n_in = ba.pose_optimization(
-        Tcw_pred, K, mp_pos, uv_meas, sqrt_info, matched,
-    )
+    if Tcw_alt is None:
+        Tcw, inlier, n_in = ba.pose_optimization(
+            Tcw_pred, K, mp_pos, uv_meas, sqrt_info, matched,
+        )
+    else:
+        seeds = jnp.stack([Tcw_pred, Tcw_alt])
+        Tcws, inls, nins = jax.vmap(
+            lambda s: ba.pose_optimization(
+                s, K, mp_pos, uv_meas, sqrt_info, matched))(seeds)
+
+        def _robust_cost(T):
+            uv, _ = _project_batch(T, K, mp_pos)
+            r = (uv - uv_meas) * sqrt_info[:, None]
+            chi2 = jnp.sum(r * r, axis=-1)
+            e = jnp.sqrt(jnp.maximum(chi2, 1e-18))
+            h = ba.HUBER_MONO
+            rho = jnp.where(e <= h, chi2, 2 * h * e - h * h)
+            return jnp.sum(rho * matched)
+
+        costs = jax.vmap(_robust_cost)(Tcws)
+        # inlier count dominates; robust cost breaks ties
+        pick = jnp.argmax(nins.astype(jnp.float32)
+                          - costs / (jnp.max(costs) + 1.0))
+        Tcw = Tcws[pick]
+        inlier = inls[pick]
+        n_in = nins[pick]
     return Tcw, jnp.where(inlier, mp_to_kp, -1), inlier, n_in, mp_to_kp
 
 
@@ -159,6 +194,7 @@ def track_frame_fused(
     kp_xy, kp_desc, kp_level, kp_valid,            # frame keypoints (N, ...)
     radius_motion, radius_local, img_wh,
     n_levels: int = 8,
+    Tcw_alt=None,
 ):
     """The whole happy-path of Tracking::Track's per-frame pipeline as ONE
     device program: motion-model candidate tracking (track_pose), local-map
@@ -186,7 +222,7 @@ def track_frame_fused(
     Tcw1, mp_to_kp, _inl1, n_in, raw = track_pose(
         Tcw_pred, K, cand_pos, cand_desc, cand_level, cand_valid,
         kp_xy, kp_desc, kp_level, kp_valid, radius_motion, img_wh,
-        mp_max_dist=cand_max_dist, n_levels=n_levels)
+        mp_max_dist=cand_max_dist, n_levels=n_levels, Tcw_alt=Tcw_alt)
 
     # kp -> global map id from the motion stage (scatter, dummy slot N)
     kp_mp = jnp.full((N + 1,), -1, dtype=jnp.int32)
@@ -301,7 +337,7 @@ def step_frame(
         mp_min_dist, mp_max_dist,
         kp_xy, kp_desc, kp_level, kp_valid,
         jnp.float32(radius_motion), jnp.float32(radius_local), img_wh,
-        n_levels=orb_cfg.n_levels)
+        n_levels=orb_cfg.n_levels, Tcw_alt=last_Tcw)
 
     ok = (n_in >= min_track) & (n_in2 >= min_local)
     okf = ok.astype(jnp.float32)
@@ -316,7 +352,18 @@ def step_frame(
 
     kp_mp_out = jnp.where(ok, kp_mp, -1)
     new_last_Tcw = jnp.where(ok, Tcw_f, last_Tcw)
-    new_velocity = jnp.where(ok, Tcw_f @ geo.inv_T(last_Tcw), velocity)
+    # motion-model update with a translation growth clamp: a single-frame
+    # jump >3x the previous speed is a pose glitch, not motion — feeding it
+    # back unclamped catapults the next window search off the map (the
+    # rescue-path analog of Tracking.cc:1347's mVelocity reset). The 1e-3
+    # floor lets a standing-start camera ramp up geometrically in 2 frames.
+    vel_raw = Tcw_f @ geo.inv_T(last_Tcw)
+    prev_n = jnp.linalg.norm(velocity[:3, 3])
+    new_n = jnp.linalg.norm(vel_raw[:3, 3])
+    cap = 3.0 * jnp.maximum(prev_n, 1e-3)
+    tscale = jnp.where(new_n > cap, cap / jnp.maximum(new_n, 1e-12), 1.0)
+    vel_raw = vel_raw.at[:3, 3].multiply(tscale)
+    new_velocity = jnp.where(ok, vel_raw, velocity)
 
     small = jnp.concatenate([
         Tcw_f.reshape(-1),
@@ -343,6 +390,7 @@ def triangulate_pair(
     Tcw1, Tcw2, K,
     kp1_xy, kp1_desc, kp1_level, kp1_free,
     kp2_xy, kp2_desc, kp2_level, kp2_free,
+    kp1_angle=None, kp2_angle=None,
 ):
     """Epipolar-constrained matching + triangulation between two keyframes.
 
@@ -365,8 +413,32 @@ def triangulate_pair(
     ep_dist2 = (num / jnp.where(den > 1e-9, den, 1e-9)) ** 2
     sig2 = level_sigma2(kp2_level)[None, :]
     ok_ep = ep_dist2 < 3.84 * sig2
+    # near-epipole exclusion (SearchForTriangulation, ORBmatcher.cc:
+    # 716-725): a kp2 near the projection of camera-1's center matches the
+    # epipolar constraint of EVERY kp1, and its triangulated depth is
+    # arbitrary — these are the fat tail of wrong-depth map points that
+    # poison pose tracking whenever the epipole is inside the image.
+    o1 = -(Tcw1[:3, :3].T @ Tcw1[:3, 3])
+    e2c = Tcw2[:3, :3] @ o1 + Tcw2[:3, 3]
+    e2z = jnp.where(jnp.abs(e2c[2]) < 1e-9, 1e-9, e2c[2])
+    e2 = (K @ e2c)[:2] / e2z
+    d_ep2 = jnp.sum((kp2_xy - e2[None, :]) ** 2, axis=1)
+    far_from_epipole = (d_ep2 >= 100.0 * SCALE_FACTOR
+                        ** kp2_level.astype(jnp.float32)) | (e2c[2] <= 0)
+    ok_ep = ok_ep & far_from_epipole[None, :]
     d = jnp.where(ok_ep, d, matching.BIG)
-    m12, _ = matching.match_mutual_ratio(d, max_dist=matching.TH_LOW, ratio=1.0, mutual=True)
+    # ratio 0.8 (not the reference's none): SearchForTriangulation only
+    # compares descriptors that share a BoW vocabulary node — a strong
+    # implicit ambiguity filter. All-vs-all epipolar matching has no such
+    # gate, and an ambiguous match ALONG the epipolar line triangulates to
+    # a self-consistent point at the wrong depth (it passes every
+    # reprojection test by construction). The ratio test is the dense-
+    # matching replacement for the BoW-node gate.
+    m12, _ = matching.match_mutual_ratio(d, max_dist=matching.TH_LOW, ratio=0.8, mutual=True)
+    if kp1_angle is not None and kp2_angle is not None:
+        # SearchForTriangulation runs with checkOrientation=true: matches
+        # outside the dominant rotation-histogram bins are spurious
+        m12 = matching.rotation_consistency(kp1_angle, kp2_angle, m12)
     matched = m12 >= 0
 
     kp2_sel = jnp.clip(m12, 0, None)
@@ -398,11 +470,24 @@ def triangulate_pair(
     s1 = level_sigma2(kp1_level)
     s2 = level_sigma2(kp2_level[kp2_sel])
 
+    # scale consistency (LocalMapping.cc:601-614): the distance ratio to
+    # the two cameras must agree with the octave ratio of the two
+    # detections within ratioFactor = 1.5 * scaleFactor. Wrong matches on
+    # the epipolar line pass the reprojection tests by construction; their
+    # detection octaves usually don't agree with the implied geometry.
+    ratio_dist = n2 / jnp.where(n1 > 1e-12, n1, 1e-12)
+    ratio_octave = (SCALE_FACTOR ** kp1_level.astype(jnp.float32)
+                    / SCALE_FACTOR ** kp2_level[kp2_sel].astype(jnp.float32))
+    ratio_factor = 1.5 * SCALE_FACTOR
+    ok_scale = ((ratio_dist * ratio_factor >= ratio_octave)
+                & (ratio_dist <= ratio_octave * ratio_factor))
+
     ok = (
         matched
         & (z1 > 0) & (z2 > 0)
         & (cos_par < 0.9998)
         & (e1 < 5.991 * s1) & (e2 < 5.991 * s2)
+        & ok_scale
         & jnp.isfinite(X).all(axis=1)
     )
     return X, m12, ok
@@ -411,16 +496,19 @@ def triangulate_pair(
 @functools.partial(jax.jit, static_argnames=())
 def triangulate_multi(Tcw1, Tcw2_stack, K,
                       kp1_xy, kp1_desc, kp1_level, kp1_free,
-                      kp2_xy_s, kp2_desc_s, kp2_level_s, kp2_free_s):
+                      kp2_xy_s, kp2_desc_s, kp2_level_s, kp2_free_s,
+                      kp1_angle=None, kp2_angle_s=None):
     """triangulate_pair vmapped over a stack of neighbor keyframes — ONE
     device program covers every triangulation baseline of a new keyframe
     (the host previously dispatched one program per covisible neighbor).
     Pad unused neighbor slots with all-False kp2_free masks."""
     fn = jax.vmap(
         triangulate_pair,
-        in_axes=(None, 0, None, None, None, None, None, 0, 0, 0, 0))
+        in_axes=(None, 0, None, None, None, None, None, 0, 0, 0, 0,
+                 None, 0))
     return fn(Tcw1, Tcw2_stack, K, kp1_xy, kp1_desc, kp1_level, kp1_free,
-              kp2_xy_s, kp2_desc_s, kp2_level_s, kp2_free_s)
+              kp2_xy_s, kp2_desc_s, kp2_level_s, kp2_free_s,
+              kp1_angle, kp2_angle_s)
 
 
 @functools.partial(jax.jit, static_argnames=("n_levels",))

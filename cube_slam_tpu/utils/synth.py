@@ -52,7 +52,7 @@ class RoomScene:
     `tex_scale` meters."""
 
     def __init__(self, wall_y=6.0, half_x=4.0, height=3.0, tex_scale=8.0, seed=0,
-                 box_center=None, box_half=None, box_yaw=0.0):
+                 box_center=None, box_half=None, box_yaw=0.0, extra_boxes=()):
         # tex_scale defaults to the full room extent (8 m): a texture that
         # tiles WITHIN the field of view puts two identical copies of every
         # corner in one image — global perceptual aliasing no descriptor
@@ -71,6 +71,19 @@ class RoomScene:
             self.box_R = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
             # darker, high-contrast texture so the box pops against the room
             self.box_tex = value_noise_texture(seed=seed + 10) * 0.55
+        # static clutter boxes (center, half, yaw): the synthetic analog of
+        # parked cars/furniture — NEAR geometry at varied depths that keeps
+        # monocular tracking well-conditioned (a bare room seen through a
+        # wide-aspect camera degenerates to a frontal plane)
+        self.extra_boxes = []
+        for j, (c_, h_, yaw_) in enumerate(extra_boxes):
+            cj, sj = np.cos(float(yaw_)), np.sin(float(yaw_))
+            self.extra_boxes.append((
+                np.asarray(c_, dtype=np.float64),
+                np.asarray(h_, dtype=np.float64),
+                np.array([[cj, -sj, 0.0], [sj, cj, 0.0], [0.0, 0.0, 1.0]]),
+                value_noise_texture(seed=seed + 20 + j) * (0.5 + 0.08 * (j % 4)),
+            ))
 
     def set_box_pose(self, center, yaw=None):
         """Move the box (dynamic-object sequences). yaw optional."""
@@ -109,13 +122,15 @@ class RoomScene:
             return None
         return np.array([x1, y1, x2 - x1, y2 - y1])
 
-    def _box_hits(self, c, rays):
+    def _box_hits(self, c, rays, center=None, Rb=None, h=None):
         """Ray-box intersection in the box frame (slab method). Returns
-        (t (H, W), uv-texture (H, W, 2), hit mask)."""
-        Rb = self.box_R
-        oc = (c - self.box_center) @ Rb  # origin in box frame
-        rd = rays @ Rb                    # directions in box frame
-        h = self.box_half
+        (t (H, W), uv-texture (H, W, 2), hit mask). Defaults to the main
+        (object-SLAM target) box; pass center/Rb/h for clutter boxes."""
+        Rb = self.box_R if Rb is None else Rb
+        center = self.box_center if center is None else center
+        h = self.box_half if h is None else h
+        oc = (c - center) @ Rb  # origin in box frame
+        rd = rays @ Rb           # directions in box frame
         with np.errstate(divide="ignore", invalid="ignore"):
             inv = 1.0 / rd
         t1 = (-h - oc) * inv
@@ -188,6 +203,16 @@ class RoomScene:
                 vals = self._sample(self.tex[ti], u[hit], v[hit])
                 img[hit] = vals
                 best_t[hit] = t[hit]
+
+        # clutter boxes first (the main box keeps the instance mask below)
+        for bc, bh, bR, btex in self.extra_boxes:
+            tb, uvb, hitb = self._box_hits(c, rays, center=bc, Rb=bR, h=bh)
+            occ = hitb & (tb < best_t)
+            if occ.any():
+                vals = self._sample(btex, uvb[..., 0][occ], uvb[..., 1][occ],
+                                    tex_scale=2.0)
+                img[occ] = vals
+                best_t[occ] = tb[occ]
 
         box_mask = np.zeros_like(img, dtype=bool)
         if self.box_center is not None:
