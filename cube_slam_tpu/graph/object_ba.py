@@ -40,7 +40,13 @@ from ..utils import geometry as geo
 from .ba import CHI2_MONO, HUBER_MONO, _project, huber_weight
 
 HUBER_BBOX = 30.0
-HUBER_PT_OBJ = 0.5  # ~sqrt(chi2) scale of the point-in-box hinge
+# effectively quadratic: the reference's point-cuboid edge carries identity
+# information with NO robust kernel (Optimizer.cc:1245-1247), and the
+# scale-normalized truncated hinge is already bounded at
+# max_outside_margin_ratio (=1) per axis — a small Huber delta here would
+# down-weight exactly the points resisting a scale collapse, making the
+# collapse self-reinforcing (measured)
+HUBER_PT_OBJ = 10.0
 
 
 def _robust_cost(r, delta, valid):
@@ -59,8 +65,50 @@ def _robust_cost(r, delta, valid):
 
 
 def _hinge_residual_unary(cub, p, si):
-    """EdgePointCuboidOnlyObject error (point constant)."""
-    return cb.point_boundary_error(cub, p[:, None, :])[:, 0, :] * si[:, None]
+    """EdgePointCuboidOnlyObject error (point constant), scale-normalized
+    exactly as the reference (g2o_Object.cpp:300-327: `point_edge_error /
+    estimate_cube.scale`). The normalization is load-bearing: the raw
+    truncated hinge's far-point branch is `ratio * scale`, whose gradient
+    wrt scale is POSITIVE — an un-normalized edge rewards collapsing the
+    box to zero through its outlier points (measured: the depth half-extent
+    pinched to 0.01 at a frontal revisit view where the bbox edge cannot
+    see depth). Dividing by scale makes the truncated branch constant
+    (no shrink reward) and the linear branch push the surface outward."""
+    err = cb.point_boundary_error(cub, p[:, None, :])[:, 0, :]
+    return err / jnp.maximum(cub.scale, 1e-6) * si[:, None]
+
+
+# weak shape prior of the reference's indoor branch (g2o_Object.cpp:
+# 318-327: `prior_weight = 0.2; prior_shape_error = estimate_cube.scale`) —
+# the counter-pressure that keeps the scale-free hinge from inflating the
+# box without bound
+PRIOR_SHAPE_W = 0.2
+
+HUBER_MEAS = 1.0  # 9-DoF measurement log error is in meters/radians
+
+
+def _meas_residuals(state, K, meas_kf, meas_obj, meas_pose, meas_scale,
+                    meas_si, meas_valid):
+    """Camera-cuboid 9-DoF measurement edges (EdgeSE3Cuboid, object_slam
+    g2o_Object.h:230-256): the detector's camera-frame cuboid, lifted into
+    the world through the (optimized) camera pose, vs the landmark state.
+    This is the family the demo graph optimizes (main_obj.cpp:531-544,
+    info proportional to meas_quality) and the one observation that pins
+    the cuboid's DEPTH extent at frontal views, where the projected-bbox
+    edge is depth-blind and the owned points only cover visible faces."""
+    kf_tcw, pts, obj_pose, obj_scale = state
+    Twc = geo.inv_T(kf_tcw[meas_kf])
+    lifted = cb.transform_from(cb.Cuboid(meas_pose, meas_scale), Twc)
+    landmark = cb.Cuboid(obj_pose[meas_obj], obj_scale[meas_obj])
+    err = cb.min_log_error(landmark, lifted)
+    return err * meas_si[:, None] * meas_valid[:, None]
+
+
+def _shape_prior_residual(obj_pose, obj_scale, obj_valid, obj_fix_scale):
+    """Per-object 0.2 * scale residual (zero for invalid / fixed-scale
+    objects — their scale is frozen out of the state anyway)."""
+    on = (obj_valid & ~obj_fix_scale).astype(obj_scale.dtype)
+    return PRIOR_SHAPE_W * obj_scale * on[:, None]
 
 
 def _hinge_residual_binary(cub, p, si):
@@ -96,9 +144,15 @@ def residual_families(state, K, obs_kf, obs_pt, obs_uv, obs_si, obs_valid,
 
 
 def total_robust_cost(state, K, obs_edges, box_edges, po_edges,
-                      po_binary=False):
+                      po_binary=False, obj_flags=None, prior_factor=1.0,
+                      meas_edges=None):
     """Sum of robustified costs; additive over edges, so the sharded solver
-    psums per-device partial sums of this same function."""
+    psums per-device partial sums of this same function.
+
+    obj_flags = (obj_valid, obj_fix_scale) enables the reference's 0.2*scale
+    shape prior (plain quadratic, one per object). prior_factor rescales its
+    sqrt-weight so an N-way edge-sharded solve that adds the prior on every
+    device psums back to EXACTLY one prior (pass 1/sqrt(N))."""
     (obs_kf, obs_pt, obs_uv, obs_si, obs_valid) = obs_edges
     (box_kf, box_obj, box_meas, box_si, box_valid) = box_edges
     (po_obj, po_pt, po_si, po_valid) = po_edges
@@ -106,15 +160,24 @@ def total_robust_cost(state, K, obs_edges, box_edges, po_edges,
         state, K, obs_kf, obs_pt, obs_uv, obs_si, obs_valid,
         box_kf, box_obj, box_meas, box_si, box_valid,
         po_obj, po_pt, po_si, po_valid, po_binary=po_binary)
-    return (
+    cost = (
         _robust_cost(r_r, HUBER_MONO, obs_valid)
         + _robust_cost(r_b, HUBER_BBOX, box_valid)
         + _robust_cost(r_p, HUBER_PT_OBJ, po_valid)
     )
+    if obj_flags is not None:
+        _, _, obj_pose, obj_scale = state
+        r_s = _shape_prior_residual(obj_pose, obj_scale, *obj_flags)
+        cost = cost + jnp.sum((prior_factor * r_s) ** 2)
+    if meas_edges is not None:
+        r_m = _meas_residuals(state, K, *meas_edges)
+        cost = cost + _robust_cost(r_m, HUBER_MEAS, meas_edges[-1])
+    return cost
 
 
 def assemble_normal_blocks(state, K, Kf, P, O,
-                           obs_edges, box_edges, po_edges, po_binary=False):
+                           obs_edges, box_edges, po_edges, po_binary=False,
+                           obj_flags=None, prior_factor=1.0, meas_edges=None):
     """Per-edge Jacobians -> summed normal-equation blocks.
 
     Returns (H_C, b_C, Hpp, bp, W): the camera+object super-block system
@@ -260,6 +323,71 @@ def assemble_normal_blocks(state, K, Kf, P, O,
     H_C = H_C.at[Kf * 6 :, Kf * 6 :].add(obj_rows_p)
     b_C = b_C.at[Kf * 6 :].add(bo_p.reshape(-1))
 
+    # 9-DoF camera-cuboid measurement family (EdgeSE3Cuboid): camera (9, 6)
+    # and object (9, 9) blocks, assembled exactly like the bbox family
+    if meas_edges is not None:
+        (meas_kf, meas_obj, meas_pose, meas_scale, meas_si, meas_valid) = meas_edges
+
+        def meas_local(dx, T, mp_, ms_, op, os_, si, w):
+            T2 = geo.se3_exp(dx[:6]) @ T
+            lifted = cb.transform_from(cb.Cuboid(mp_, ms_), geo.inv_T(T2))
+            cub = cb.exp_update(cb.Cuboid(op, os_), dx[6:])
+            return cb.min_log_error(cub, lifted) * si * w
+
+        r_m_raw = _meas_residuals(state, K, *meas_edges)
+        chi2_m = jnp.sum(r_m_raw * r_m_raw, axis=-1)
+        w_m = lax.stop_gradient(huber_weight(chi2_m, HUBER_MEAS)) \
+            * meas_valid.astype(r_m_raw.dtype)
+        rm_w = r_m_raw * w_m[:, None]
+        J_m = jax.vmap(
+            lambda T, mp_, ms_, op, os_, si, w: jax.jacfwd(
+                lambda dx: meas_local(dx, T, mp_, ms_, op, os_, si, w)
+            )(jnp.zeros(15))
+        )(kf_tcw[meas_kf], meas_pose, meas_scale,
+          obj_pose[meas_obj], obj_scale[meas_obj], meas_si, w_m)
+        Jc_m = J_m[..., :6]
+        Jo_m = J_m[..., 6:]
+        Hcc_m = jax.ops.segment_sum(
+            jnp.einsum("eai,eaj->eij", Jc_m, Jc_m), meas_kf, num_segments=Kf)
+        Hoo_m = jax.ops.segment_sum(
+            jnp.einsum("eai,eaj->eij", Jo_m, Jo_m), meas_obj, num_segments=O)
+        Hco_m = jax.ops.segment_sum(
+            jnp.einsum("eai,eaj->eij", Jc_m, Jo_m),
+            meas_kf * O + meas_obj, num_segments=Kf * O)
+        bc_m = jax.ops.segment_sum(
+            jnp.einsum("eai,ea->ei", Jc_m, rm_w), meas_kf, num_segments=Kf)
+        bo_m = jax.ops.segment_sum(
+            jnp.einsum("eai,ea->ei", Jo_m, rm_w), meas_obj, num_segments=O)
+        cam_rows_m = jnp.zeros((Kf * 6, Kf * 6)).at[
+            (jnp.arange(Kf)[:, None, None] * 6 + jnp.arange(6)[None, :, None]),
+            (jnp.arange(Kf)[:, None, None] * 6 + jnp.arange(6)[None, None, :]),
+        ].add(Hcc_m)
+        obj_rows_m = jnp.zeros((O * 9, O * 9)).at[
+            (jnp.arange(O)[:, None, None] * 9 + jnp.arange(9)[None, :, None]),
+            (jnp.arange(O)[:, None, None] * 9 + jnp.arange(9)[None, None, :]),
+        ].add(Hoo_m)
+        cross_m = Hco_m.reshape(Kf, O, 6, 9).transpose(0, 2, 1, 3) \
+            .reshape(Kf * 6, O * 9)
+        H_C = H_C.at[: Kf * 6, : Kf * 6].add(cam_rows_m)
+        H_C = H_C.at[Kf * 6 :, Kf * 6 :].add(obj_rows_m)
+        H_C = H_C.at[: Kf * 6, Kf * 6 :].add(cross_m)
+        H_C = H_C.at[Kf * 6 :, : Kf * 6].add(cross_m.T)
+        b_C = b_C.at[: Kf * 6].add(bc_m.reshape(-1))
+        b_C = b_C.at[Kf * 6 :].add(bo_m.reshape(-1))
+
+    # shape prior 0.2*scale (g2o_Object.cpp:318-327): scale updates are
+    # additive (exp_update), so J = f*0.2*I on the scale sub-block exactly
+    if obj_flags is not None:
+        r_s = prior_factor * _shape_prior_residual(obj_pose, obj_scale,
+                                                   *obj_flags)  # (O, 3)
+        w2 = (prior_factor * PRIOR_SHAPE_W) ** 2
+        on = (obj_flags[0] & ~obj_flags[1]).astype(obj_scale.dtype)  # (O,)
+        oidx = Kf * 6 + jnp.arange(O)[:, None] * 9 + jnp.arange(6, 9)[None, :]
+        H_C = H_C.at[oidx.reshape(-1), oidx.reshape(-1)].add(
+            jnp.repeat(w2 * on, 3))
+        b_C = b_C.at[oidx.reshape(-1)].add(
+            (prior_factor * PRIOR_SHAPE_W) * r_s.reshape(-1))
+
     if po_binary:
         Hpp = Hpp + jax.ops.segment_sum(
             jnp.einsum("eai,eaj->eij", Jp_po, Jp_po), po_pt, num_segments=P
@@ -335,9 +463,12 @@ def local_ba_objects(
     kf_fixed, pt_valid, obj_valid, obj_fix_scale,
     num_iters: int = 10,
     po_binary: bool = False,
+    meas_kf=None, meas_obj=None, meas_pose=None, meas_scale=None,
+    meas_si=None, meas_valid=None,
 ):
     """Returns (kf_tcw, pts, obj_pose, obj_scale, cost, reproj_inlier,
-    box_inlier)."""
+    box_inlier). The optional meas_* arrays add 9-DoF camera-cuboid
+    measurement edges (EdgeSE3Cuboid)."""
     Kf = kf_tcw.shape[0]
     P = pts.shape[0]
     O = obj_pose.shape[0]
@@ -348,15 +479,21 @@ def local_ba_objects(
     obs_edges = (obs_kf, obs_pt, obs_uv, obs_si, obs_valid)
     box_edges = (box_kf, box_obj, box_meas, box_si, box_valid)
     po_edges = (po_obj, po_pt, po_si, po_valid)
+    meas_edges = (None if meas_kf is None else
+                  (meas_kf, meas_obj, meas_pose, meas_scale, meas_si,
+                   meas_valid))
+
+    obj_flags = (obj_valid, obj_fix_scale)
 
     def total_cost(state):
         return total_robust_cost(state, K, obs_edges, box_edges, po_edges,
-                                 po_binary=po_binary)
+                                 po_binary=po_binary, obj_flags=obj_flags,
+                                 meas_edges=meas_edges)
 
     def lm_step(state, lam):
         H_C, b_C, Hpp, bp, W = assemble_normal_blocks(
             state, K, Kf, P, O, obs_edges, box_edges, po_edges,
-            po_binary=po_binary)
+            po_binary=po_binary, obj_flags=obj_flags, meas_edges=meas_edges)
         dC, dp = schur_reduce_solve(H_C, b_C, Hpp, bp, W, lam, C_mask, pt_mask, Kf, D)
         return retract_state(state, dC, dp, Kf, O)
 
@@ -394,6 +531,8 @@ def local_ba_objects_two_stage(
     po_obj, po_pt, po_si, po_valid,
     kf_fixed, pt_valid, obj_valid, obj_fix_scale,
     po_binary: bool = False,
+    meas_kf=None, meas_obj=None, meas_pose=None, meas_scale=None,
+    meas_si=None, meas_valid=None,
 ):
     """The reference's optimize(5) -> prune outliers -> optimize(10)
     schedule (Optimizer.cc:1389-1444): reprojection edges with chi2 > 5.991
@@ -402,13 +541,16 @@ def local_ba_objects_two_stage(
 
     Returns the same tuple as local_ba_objects (inlier masks reflect the
     pruned sets)."""
+    meas_kw = dict(meas_kf=meas_kf, meas_obj=meas_obj, meas_pose=meas_pose,
+                   meas_scale=meas_scale, meas_si=meas_si,
+                   meas_valid=meas_valid)
     out1 = local_ba_objects(
         kf_tcw, pts, obj_pose, obj_scale, K,
         obs_kf, obs_pt, obs_uv, obs_si, obs_valid,
         box_kf, box_obj, box_meas, box_si, box_valid,
         po_obj, po_pt, po_si, po_valid,
         kf_fixed, pt_valid, obj_valid, obj_fix_scale,
-        num_iters=5, po_binary=po_binary,
+        num_iters=5, po_binary=po_binary, **meas_kw,
     )
     kf1, pts1, op1, os1 = out1[:4]
     # chi2 gates on the STAGE-1 state (the reference checks e->chi2() after
@@ -427,5 +569,5 @@ def local_ba_objects_two_stage(
         box_kf, box_obj, box_meas, box_si, box_keep,
         po_obj, po_pt, po_si, po_valid,
         kf_fixed, pt_valid, obj_valid, obj_fix_scale,
-        num_iters=10, po_binary=po_binary,
+        num_iters=10, po_binary=po_binary, **meas_kw,
     )

@@ -14,9 +14,10 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=("prefer_farthest",))
 def fit_plane_ransac(points, valid, sample_idx, inlier_thresh,
-                     expected_normal=None, min_normal_cos=0.0):
+                     expected_normal=None, min_normal_cos=0.0,
+                     prefer_farthest=False):
     """Plane RANSAC: points (N, 3), valid (N,), sample_idx (S, 3) int.
 
     Returns (plane (4,) [n, d] with |n|=1 and n·p + d = 0, inlier_mask (N,),
@@ -28,6 +29,13 @@ def fit_plane_ransac(points, valid, sample_idx, inlier_thresh,
     scoring (the ground-plane fit must not lock onto walls even when wall
     points dominate the candidate set; PCL SACSegmentation offers the same
     via setAxis/setEpsAngle).
+
+    prefer_farthest: among hypotheses within 50% of the best inlier count
+    (after the normal gate), pick the plane FARTHEST from the origin
+    (|d| max). For a camera-frame ground fit the floor is the farthest
+    normal-aligned plane below the camera — object TOP faces share the
+    floor's normal and can out-vote it when a tabletop/box dominates the
+    lower image, and a plane through them under-reports camera height.
     """
     p0 = points[sample_idx[:, 0]]  # (S, 3)
     p1 = points[sample_idx[:, 1]]
@@ -45,7 +53,11 @@ def fit_plane_ransac(points, valid, sample_idx, inlier_thresh,
         exp_n = exp_n / jnp.maximum(jnp.linalg.norm(exp_n), 1e-12)
         gate = jnp.abs(n @ exp_n) >= min_normal_cos
         counts = jnp.where(gate, counts, -1)
-    best = jnp.argmax(counts)
+    if prefer_farthest:
+        ok = counts >= jnp.maximum(jnp.max(counts), 1) // 2
+        best = jnp.argmax(jnp.where(ok & (counts > 0), jnp.abs(d), -1.0))
+    else:
+        best = jnp.argmax(counts)
     inlier = inl[:, best]
 
     # refine: PCA plane over inliers

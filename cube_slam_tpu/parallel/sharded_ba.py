@@ -80,6 +80,13 @@ def sharded_local_ba(
     edge_spec_box = (P(axis_name),) * 5
     edge_spec_po = (P(axis_name),) * 4
 
+    # every device adds the shape prior; a 1/sqrt(N) prior_factor makes the
+    # psum of the N per-device contributions EXACTLY one prior (cost,
+    # gradient, and Hessian all scale by prior_factor^2 = 1/N)
+    n_dev = mesh.size
+    obj_flags = (obj_valid, obj_fix_scale)
+    prior_factor = 1.0 / float(n_dev) ** 0.5
+
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
@@ -88,12 +95,15 @@ def sharded_local_ba(
     )
     def run(state, obs_edges, box_edges, po_edges):
         def total_cost(s):
-            local = oba.total_robust_cost(s, K, obs_edges, box_edges, po_edges)
+            local = oba.total_robust_cost(
+                s, K, obs_edges, box_edges, po_edges,
+                obj_flags=obj_flags, prior_factor=prior_factor)
             return jax.lax.psum(local, axis_name)
 
         def lm_step(s, lam):
             blocks = oba.assemble_normal_blocks(
-                s, K, Kf, Pn, O, obs_edges, box_edges, po_edges)
+                s, K, Kf, Pn, O, obs_edges, box_edges, po_edges,
+                obj_flags=obj_flags, prior_factor=prior_factor)
             H_C, b_C, Hpp, bp, W = jax.lax.psum(blocks, axis_name)
             dC, dp = oba.schur_reduce_solve(
                 H_C, b_C, Hpp, bp, W, lam, C_mask, pt_mask, Kf, D)

@@ -155,7 +155,8 @@ def triangulate(P1, P2, p1, p2):
 
 def _cheirality(R, t, K, p1, p2, inlier, max_parallax_needed=1.0, sigma=SIGMA):
     """Count points in front of both cameras with finite depth & low reproj
-    error (CheckRT, Initializer.cc:~790)."""
+    error (CheckRT, Initializer.cc:~790). Also returns the 50th-largest
+    triangulation parallax (degrees) — the reference's acceptance metric."""
     P1 = K @ jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)
     Rt = jnp.concatenate([R, t[:, None]], axis=1)
     P2 = K @ Rt
@@ -175,7 +176,18 @@ def _cheirality(R, t, K, p1, p2, inlier, max_parallax_needed=1.0, sigma=SIGMA):
         inlier & (z1 > 0) & (z2 > 0) & (e1 < 4.0 * TH_H * s2) & (e2 < 4.0 * TH_H * s2)
         & jnp.isfinite(X).all(axis=1)
     )
-    return jnp.sum(good), good, X
+    # per-point parallax (CheckRT's vCosParallax): angle between the two
+    # viewing rays; the acceptance uses the 50th-LARGEST parallax so a few
+    # lucky wide-angle points can't carry a low-parallax pair
+    O2 = -(R.T @ t)  # camera-2 center in cam1 frame
+    v2 = X - O2
+    n1 = jnp.linalg.norm(X, axis=1)
+    n2 = jnp.linalg.norm(v2, axis=1)
+    cospar = jnp.sum(X * v2, axis=1) / jnp.maximum(n1 * n2, 1e-12)
+    cos_sorted = jnp.sort(jnp.where(good, cospar, 1.0))  # ascending cos
+    idx = jnp.clip(jnp.minimum(50, jnp.sum(good) - 1), 0, X.shape[0] - 1)
+    parallax_deg = jnp.degrees(jnp.arccos(jnp.clip(cos_sorted[idx], -1.0, 1.0)))
+    return jnp.sum(good), good, X, parallax_deg
 
 
 def decompose_e(E):
@@ -278,14 +290,23 @@ def initialize_two_view(p1, p2, valid, K, sample_idx, n_ransac=200, sigma=1.0):
             hyps_h.append((Rh2, th2))
 
     def eval_hyp(R, t, inl):
-        n, good, X = _cheirality(R, t, K, p1, p2, inl, sigma=sigma)
-        return n, good, X
+        # score cheirality on ALL matches, not only the model's inliers:
+        # on a plane-dominated view the H inliers are the plane itself, and
+        # BOTH branches of the two-fold homography ambiguity explain them —
+        # only the OFF-PLANE minority (box, floor, side walls) can vote the
+        # wrong branch down through the reprojection gate (measured: inlier-
+        # only scoring picked t directions up to 83 deg off on the room
+        # scene; all-match scoring resolves every pair to <4 deg)
+        n, good, X, par = _cheirality(R, t, K, p1, p2, inl | valid,
+                                      sigma=sigma)
+        return n, good, X, par
 
     results = [eval_hyp(R, t, inl_f[best_f]) for R, t in hyps_f]
     counts_f = jnp.stack([r[0] for r in results])
     best_hyp_f = jnp.argmax(counts_f)
     goods_f = jnp.stack([r[1] for r in results])
     Xs_f = jnp.stack([r[2] for r in results])
+    pars_f = jnp.stack([r[3] for r in results])
     Rs_f = jnp.stack([h[0] for h in hyps_f])
     ts_f = jnp.stack([h[1] for h in hyps_f])
 
@@ -294,6 +315,7 @@ def initialize_two_view(p1, p2, valid, K, sample_idx, n_ransac=200, sigma=1.0):
     best_hyp_h = jnp.argmax(counts_h)
     goods_h = jnp.stack([r[1] for r in results_h])
     Xs_h = jnp.stack([r[2] for r in results_h])
+    pars_h = jnp.stack([r[3] for r in results_h])
     Rs_h = jnp.stack([h[0] for h in hyps_h])
     ts_h = jnp.stack([h[1] for h in hyps_h])
 
@@ -301,12 +323,38 @@ def initialize_two_view(p1, p2, valid, K, sample_idx, n_ransac=200, sigma=1.0):
     t_sel = jnp.where(use_H, ts_h[best_hyp_h], ts_f[best_hyp_f])
     good_sel = jnp.where(use_H, goods_h[best_hyp_h], goods_f[best_hyp_f])
     X_sel = jnp.where(use_H, Xs_h[best_hyp_h], Xs_f[best_hyp_f])
+    par_sel = jnp.where(use_H, pars_h[best_hyp_h], pars_f[best_hyp_f])
     n_good = jnp.sum(good_sel)
 
-    # winner must clearly dominate (ReconstructF: nGood > 0.9*maxGood etc.);
-    # simplified acceptance: enough good points and enough inliers
+    # winner must clearly dominate (ReconstructF: nGood > 0.9*maxGood etc.)
+    # AND carry real parallax (the reference's minParallax = 1 deg,
+    # Initializer.cc:474/579 call sites; we demand 2.5 deg): a
+    # low-parallax pair triangulates a WARPED map — the translation
+    # direction is weakly constrained, so whole regions reconstruct at
+    # the wrong relative scale (measured: a 1.15-deg init produced a map
+    # whose camera translations ran at 0.7x of truth uniformly, a bias no
+    # later BA can repair because it enters through the init pose, and it
+    # compounds ~2 deg/frame of rotation drift on fixating orbits).
+    # Waiting a few frames for baseline is the cure — the reference's
+    # tracker retries initialization until a pair passes.
     n_inlier = jnp.where(use_H, jnp.sum(inl_h[best_h]), jnp.sum(inl_f[best_f]))
-    success = (n_good >= 30) & (n_good.astype(jnp.float32) > 0.5 * n_inlier.astype(jnp.float32))
+    # hypothesis-dominance gates (the part of ReconstructH/F the earlier
+    # simplification dropped — and the measured cause of a 3.5-deg-wrong
+    # init on a wall-dominated view): the planar homography has a TWO-FOLD
+    # motion ambiguity whose wrong branch also passes cheirality on most
+    # points, so H accepts only when the best hypothesis clearly beats the
+    # runner-up (secondBestGood < 0.75*bestGood, Initializer.cc:717-737);
+    # F accepts only when exactly ONE of the four (R,t) hypotheses explains
+    # the scene (nsimilar == 1, Initializer.cc:552-576).
+    second_h = jnp.sort(counts_h)[-2]
+    dominant_h = second_h.astype(jnp.float32) < 0.75 * counts_h[best_hyp_h].astype(jnp.float32)
+    nsim_f = jnp.sum(counts_f.astype(jnp.float32)
+                     > 0.7 * counts_f[best_hyp_f].astype(jnp.float32))
+    dominant = jnp.where(use_H, dominant_h, nsim_f == 1)
+    success = ((n_good >= 30)
+               & (n_good.astype(jnp.float32) > 0.5 * n_inlier.astype(jnp.float32))
+               & (par_sel >= 2.5)
+               & dominant)
 
     Tcw2 = geo.make_T(R_sel, t_sel)
     return {

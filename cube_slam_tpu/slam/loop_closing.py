@@ -171,7 +171,7 @@ def _pad_pow2(n, lo=256):
 
 
 def _refine_sim3_cam(m, kf_a, kf_b, pa_w, pb_w, uv1, uv2, s, R, t,
-                     fix_scale, num_iters=10):
+                     fix_scale, K, num_iters=10):
     """Refine a WORLD Sim3 (pa_w -> pb_w) as the reference does: convert to
     the camera-frame relative Sim3, run the both-way-projection LM
     (Optimizer::OptimizeSim3, Optimizer.cc:2838-3035), convert back.
@@ -197,7 +197,7 @@ def _refine_sim3_cam(m, kf_a, kf_b, pa_w, pb_w, uv1, uv2, s, R, t,
         jnp.asarray(pad(pb_cam.astype(np.float32), 3)),
         jnp.asarray(pad(uv1.astype(np.float32), 2)),
         jnp.asarray(pad(uv2.astype(np.float32), 2)),
-        jnp.asarray(m._K.astype(np.float32)),
+        jnp.asarray(np.asarray(K, dtype=np.float32)),
         jnp.asarray(valid), num_iters=num_iters, fix_scale=fix_scale)
     S_ref = (float(s_r), np.array(R_r, dtype=np.float64),
              np.array(t_r, dtype=np.float64))
@@ -208,7 +208,7 @@ def _refine_sim3_cam(m, kf_a, kf_b, pa_w, pb_w, uv1, uv2, s, R, t,
     return S_w[0], S_w[1], S_w[2], np.array(inl)[:N], int(n_in)
 
 
-def _sim3_guided_matches(m, kf_a, kf_b, s, R, t, radius=7.5,
+def _sim3_guided_matches(m, kf_a, kf_b, s, R, t, K, radius=7.5,
                          max_dist=matching.TH_HIGH):
     """SearchBySim3-style guided re-matching (ORBmatcher.cc:1141-1370):
     project each keyframe's map points into the OTHER image through the
@@ -217,7 +217,7 @@ def _sim3_guided_matches(m, kf_a, kf_b, s, R, t, radius=7.5,
     arrays of the agreed correspondences."""
     Tcw_a = m.kf_tcw[kf_a].astype(np.float64)
     Tcw_b = m.kf_tcw[kf_b].astype(np.float64)
-    K = m._K
+    K = np.asarray(K, dtype=np.float64)
 
     def project_into(pts_w, Tcw):
         pc = pts_w @ Tcw[:3, :3].T + Tcw[:3, 3]
@@ -263,7 +263,10 @@ def _sim3_guided_matches(m, kf_a, kf_b, s, R, t, radius=7.5,
     S_ba = _np_sim3_inverse(s, R, t)
     m_ab = one_way(kf_a, kf_b, S_ab)
     m_ba = one_way(kf_b, kf_a, S_ba)
-    agreed = [(a, b) for a, b in m_ab.items() if m_ba.get(b, -1) == a]
+    # a == b is the same map point seen from both keyframes — a covisible
+    # observation, not a loop correspondence (see verify_loop_sim3)
+    agreed = [(a, b) for a, b in m_ab.items()
+              if m_ba.get(b, -1) == a and a != b]
     if not agreed:
         return (np.zeros((0, 3)),) * 2 + (np.zeros((0, 2)),) * 2
     a_ids = np.array([a for a, _ in agreed])
@@ -310,17 +313,44 @@ def verify_loop_sim3(map_state, kf_a, kf_b, K=None, fix_scale=False,
         return None
     kp_a = sel_a[good]
     kp_b = sel_b[idx[good]]
+    # drop SAME-map-point pairs: in the reference a loop candidate is
+    # non-covisible with the current keyframe (DetectLoopCandidates
+    # excludes covisibles), so every Sim3 correspondence relates two
+    # DISTINCT map points (the drifted duplicate vs the original). On a
+    # revisit where tracking kept old associations alive, identity pairs
+    # (p, p) dominate the match set — they carry zero loop signal and
+    # starve the 3-point RANSAC of clean duplicate-pair samples.
+    distinct = mp_a[kp_a] != mp_b[kp_b]
+    kp_a, kp_b = kp_a[distinct], kp_b[distinct]
+    if len(kp_a) < min_inliers:
+        return None
     pa = m.mp_pos[mp_a[kp_a]]
     pb = m.mp_pos[mp_b[kp_b]]
     N = len(pa)
     samples = np.stack([
         np.random.default_rng(seed + i).choice(N, 3, replace=False) for i in range(128)
     ]).astype(np.int32)
-    s, R, t, inlier, n_in = sim3_mod.sim3_ransac(
-        jnp.asarray(pa, dtype=jnp.float32), jnp.asarray(pb, dtype=jnp.float32),
-        jnp.ones(N, dtype=bool), jnp.asarray(samples), jnp.float32(0.3),
-        fix_scale=fix_scale,
-    )
+    if K is not None:
+        # pixel-scored consensus (Sim3Solver::CheckInliers): scale-free and
+        # anchored to the observations — a 3D-metres gate blends structure
+        # at intermediate drift warps into the consensus and biases scale
+        s, R, t, inlier, n_in = sim3_mod.sim3_ransac_px(
+            jnp.asarray(pa, dtype=jnp.float32),
+            jnp.asarray(pb, dtype=jnp.float32),
+            jnp.asarray(m.kf_kp_xy[kf_a, kp_a], dtype=jnp.float32),
+            jnp.asarray(m.kf_kp_xy[kf_b, kp_b], dtype=jnp.float32),
+            jnp.asarray(m.kf_tcw[kf_a], dtype=jnp.float32),
+            jnp.asarray(m.kf_tcw[kf_b], dtype=jnp.float32),
+            jnp.asarray(np.asarray(K, dtype=np.float32)),
+            jnp.ones(N, dtype=bool), jnp.asarray(samples),
+            fix_scale=fix_scale,
+        )
+    else:
+        s, R, t, inlier, n_in = sim3_mod.sim3_ransac(
+            jnp.asarray(pa, dtype=jnp.float32), jnp.asarray(pb, dtype=jnp.float32),
+            jnp.ones(N, dtype=bool), jnp.asarray(samples), jnp.float32(0.3),
+            fix_scale=fix_scale,
+        )
     if int(n_in) < min_inliers:
         return None
     s, R, t = float(s), np.array(R, dtype=np.float64), np.array(t, dtype=np.float64)
@@ -330,24 +360,28 @@ def verify_loop_sim3(map_state, kf_a, kf_b, K=None, fix_scale=False,
     # --- LM refinement of the RANSAC Sim3 (Optimizer::OptimizeSim3): a raw
     # 3-point-sample Horn fit carries the RANSAC sample's noise — on long
     # drifts that biases the pose-graph scale
-    m._K = np.asarray(K, dtype=np.float64)
     inl = np.array(inlier)
     s, R, t, _, n_ref = _refine_sim3_cam(
         m, kf_a, kf_b, pa[inl].astype(np.float64), pb[inl].astype(np.float64),
         m.kf_kp_xy[kf_a, kp_a[inl]], m.kf_kp_xy[kf_b, kp_b[inl]],
-        s, R, t, fix_scale)
+        s, R, t, fix_scale, K)
     if n_ref < min_inliers:
         return None
     # --- guided re-match with the refined Sim3 (SearchBySim3 analog),
     # then re-refine on the agreed set; accept at the reference's >= 40
-    # total-inlier gate (LoopClosing.cc:367-400)
-    pa2, pb2, uv1, uv2 = _sim3_guided_matches(m, kf_a, kf_b, s, R, t)
+    # total-inlier gate (LoopClosing.cc:367-400). The raw Horn-RANSAC
+    # inlier count is NOT an acceptance signal — a 3-point-sample fit on
+    # self-similar structure reaches high counts on false loops; only the
+    # projection-refined counts (n2 from the guided set, n_ref from the
+    # descriptor-matched set) gate acceptance, matching the reference's
+    # rule (reject unless >= 40 survive SearchBySim3 + second OptimizeSim3).
+    pa2, pb2, uv1, uv2 = _sim3_guided_matches(m, kf_a, kf_b, s, R, t, K)
     if len(pa2) >= min_inliers:
         s2, R2, t2, inl2, n2 = _refine_sim3_cam(
-            m, kf_a, kf_b, pa2, pb2, uv1, uv2, s, R, t, fix_scale)
+            m, kf_a, kf_b, pa2, pb2, uv1, uv2, s, R, t, fix_scale, K)
         if n2 >= min_total:
             return float(s2), R2, t2, int(n2)
-    if max(n_ref, int(n_in)) >= min_total:
+    if n_ref >= min_total:
         return s, R, t, int(n_ref)
     return None
 

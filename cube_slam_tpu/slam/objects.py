@@ -59,11 +59,15 @@ class ObjectStore:
         self.n_obs = np.zeros(O, dtype=np.int32)
         self.quality = np.zeros(O, dtype=np.float32)
         self.fix_scale = np.zeros(O, dtype=bool)
+        # slot generation, bumped at alloc: an ASYNC object-BA fold must
+        # not write a dead landmark's optimized pose into a recycled slot
+        self.gen = np.zeros(O, dtype=np.int64)
 
     def alloc(self):
         free = np.where(~self.valid)[0]
         if len(free) == 0:
             return -1
+        self.gen[free[0]] += 1
         return int(free[0])
 
     def clear(self):
@@ -447,14 +451,38 @@ class ObjectManager:
                  camera_object_weight=1.0):
         """Assemble bbox + point-object edge arrays for local_ba_objects.
 
-        kf_map: dict global kf id -> local BA camera index."""
+        kf_map: dict global kf id -> local BA camera index. The max_*
+        arguments are FLOORS: capacities grow in pow2 buckets to the real
+        edge counts (the reference never drops edges from the joint solve;
+        buckets bound recompiles to log2 of the range)."""
         m = map_state
         st = self.store
+
+        def _pow2(n, lo):
+            return max(lo, 1 << int(np.ceil(np.log2(max(int(n), 1)))))
+
+        n_meas = sum(len(self.meas.get(int(o), ()))
+                     for o in np.where(st.valid)[0])
+        max_box_edges = _pow2(n_meas, max_box_edges)
+        n_owned_all = int((m.mp_valid & (m.mp_best_obj >= 0)).sum())
+        max_po_edges = _pow2(n_owned_all, max_po_edges)
         box_kf = np.zeros(max_box_edges, dtype=np.int32)
         box_obj = np.zeros(max_box_edges, dtype=np.int32)
         box_meas = np.zeros((max_box_edges, 4), dtype=np.float32)
         box_si = np.ones(max_box_edges, dtype=np.float32)
         box_valid = np.zeros(max_box_edges, dtype=bool)
+        # 9-DoF camera-cuboid measurement edges (EdgeSE3Cuboid, the demo's
+        # family, main_obj.cpp:531-544): the ONLY observation that pins the
+        # cuboid's depth extent at frontal views (bbox edges are depth-
+        # blind there, owned points cover only visible faces). Padding
+        # poses are IDENTITY, not zeros — se3_log of a zero matrix is NaN,
+        # and NaN*0 still poisons the masked residual.
+        meas_kf = np.zeros(max_box_edges, dtype=np.int32)
+        meas_obj = np.zeros(max_box_edges, dtype=np.int32)
+        meas_pose = np.tile(np.eye(4, dtype=np.float32), (max_box_edges, 1, 1))
+        meas_scale = np.ones((max_box_edges, 3), dtype=np.float32)
+        meas_si = np.zeros(max_box_edges, dtype=np.float32)
+        meas_valid = np.zeros(max_box_edges, dtype=bool)
         n = 0
         ring = [d for o in np.where(st.valid)[0]
                 for d in self.meas.get(int(o), ())]
@@ -474,6 +502,13 @@ class ObjectManager:
             # info ~ weight * quality^2 -> sqrt-info ~ sqrt(w) * quality
             box_si[n] = np.sqrt(camera_object_weight) * det.quality
             box_valid[n] = True
+            meas_kf[n] = box_kf[n]
+            meas_obj[n] = det.landmark
+            meas_pose[n] = det.local_pose
+            meas_scale[n] = det.scale
+            # info proportional to measurement quality (main_obj.cpp:538)
+            meas_si[n] = det.quality
+            meas_valid[n] = True
             n += 1
 
         po_obj = np.zeros(max_po_edges, dtype=np.int32)
@@ -485,24 +520,37 @@ class ObjectManager:
         if len(owned) > max_po_edges:
             logger.warning("object BA: clipping %d -> %d point-object edges",
                            len(owned), max_po_edges)
+        # per-object 1/sqrt(n) weights: the reference sums ONE edge per
+        # object whose error is the MEAN over its points (g2o_Object.cpp:
+        # 308-315) — per-point edges at unit weight would scale the point
+        # family by n_points relative to the bbox/measurement families
+        n_owned = np.bincount(m.mp_best_obj[owned], minlength=st.pose.shape[0])
         for mp in owned[:max_po_edges]:
             po_obj[q] = m.mp_best_obj[mp]
             po_pt[q] = mp
-            po_si[q] = 1.0
+            po_si[q] = 1.0 / np.sqrt(max(int(n_owned[po_obj[q]]), 1))
             po_valid[q] = bool(st.valid[po_obj[q]])
             q += 1
         return (box_kf, box_obj, box_meas, box_si, box_valid,
-                po_obj, po_pt, po_si, po_valid)
+                po_obj, po_pt, po_si, po_valid,
+                meas_kf, meas_obj, meas_pose, meas_scale, meas_si, meas_valid)
 
     def cull(self, map_state):
         """Remove landmarks with too few observations after a while
         (Tracking.cc:1986-2027, simplified): a landmark first seen >= 3
-        keyframe steps ago that never reached 2 sightings goes away."""
+        keyframe steps ago that never reached 2 sightings goes away.
+        Landmarks whose BA scale collapsed to the exp_update floor are
+        geometry wrecks (bad ownership under map-scale churn) — cull them
+        too so a fresh candidate can re-form instead of the association
+        step feeding the wreck forever."""
         st = self.store
         for o in np.where(st.valid)[0]:
             age = self._kf_counter - self.first_seen.get(int(o),
                                                          self._kf_counter)
-            if age >= 3 and st.n_obs[o] < 2:
+            starved = age >= 3 and st.n_obs[o] < 2
+            wrecked = (not st.fix_scale[o]
+                       and float(st.scale[o].min()) <= 0.02)
+            if starved or wrecked:
                 st.valid[o] = False
                 self.meas.pop(int(o), None)
                 self.first_seen.pop(int(o), None)

@@ -66,6 +66,54 @@ def sim3_ransac(p1, p2, valid, sample_idx, inlier_thresh, fix_scale=False):
     return s_f, R_f, t_f, inlier, jnp.sum(inlier)
 
 
+@functools.partial(jax.jit, static_argnames=("fix_scale",))
+def sim3_ransac_px(p1, p2, uv1, uv2, Tcw1, Tcw2, K, valid, sample_idx,
+                   max_err2_px=9.21 * 2.0, fix_scale=False):
+    """Sim3 RANSAC scored by BOTH-WAY PIXEL reprojection, the reference's
+    acceptance rule (Sim3Solver::CheckInliers, Sim3Solver.cc:~296-330:
+    an inlier must reproject within chi2 in BOTH images).
+
+    A 3D-distance consensus needs an absolute metres threshold — scene-
+    dependent, and on drifted maps it blends structure carrying
+    intermediate warps into the consensus, biasing the similarity's SCALE
+    (measured: s=1.21 on a pure-SE3 drift). The pixel gate is scale-free
+    and anchored to the actual observations.
+
+    p1, p2: (N, 3) matched WORLD points of the two keyframes; uv1, uv2
+    their pixel observations; Tcw1/Tcw2 the keyframes' world->camera poses.
+    The returned Sim3 maps p1's world onto p2's world.
+    Returns (s, R, t, inlier (N,), n_inlier)."""
+    s1 = p1[sample_idx]
+    s2 = p2[sample_idx]
+    s, R, t = horn_sim3(s1, s2, fix_scale=fix_scale)  # (S,), (S,3,3), (S,3)
+
+    def project(Tcw, pw):
+        pc = pw @ Tcw[:3, :3].T + Tcw[:3, 3]
+        z = jnp.where(jnp.abs(pc[..., 2:3]) < 1e-9, 1e-9, pc[..., 2:3])
+        return (pc @ K.T)[..., :2] / z, pc[..., 2]
+
+    def score(si, Ri, ti):
+        # p1 -> p2's world -> image 2
+        p12 = si * (p1 @ Ri.T) + ti
+        uvh2, z2 = project(Tcw2, p12)
+        e2 = jnp.sum((uvh2 - uv2) ** 2, axis=-1)
+        # p2 -> p1's world -> image 1
+        sinv, Rinv, tinv = sim3_inverse(si, Ri, ti)
+        p21 = sinv * (p2 @ Rinv.T) + tinv
+        uvh1, z1 = project(Tcw1, p21)
+        e1 = jnp.sum((uvh1 - uv1) ** 2, axis=-1)
+        return ((e1 < max_err2_px) & (e2 < max_err2_px)
+                & (z1 > 0) & (z2 > 0) & valid)
+
+    inl = jax.vmap(score)(s, R, t)           # (S, N)
+    counts = jnp.sum(inl, axis=1)
+    best = jnp.argmax(counts)
+    w = inl[best].astype(jnp.float32)
+    s_f, R_f, t_f = horn_sim3(p1, p2, weights=w, fix_scale=fix_scale)
+    inlier = score(s_f, R_f, t_f)
+    return s_f, R_f, t_f, inlier, jnp.sum(inlier)
+
+
 # ---------------------------------------------------------------------------
 # Sim3 pose-graph pieces (OptimizeEssentialGraph, Optimizer.cc:2575)
 # ---------------------------------------------------------------------------

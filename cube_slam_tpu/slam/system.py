@@ -27,6 +27,7 @@ import numpy as np
 from ..graph import ba
 from ..ops import matching, orb
 from ..utils import np_geometry as np_geo
+from ..utils import profiler
 from . import initializer as ini
 from . import tracking as trk
 from .state import FrameFeatures, MapState
@@ -532,6 +533,7 @@ class MonocularTracker:
         state/counter chain advances through FUTURES (the program gates its
         own state update on the success flag, so chaining an eventually-
         failed frame is safe)."""
+        profiler.tictoc("track.dispatch")
         cfg = self.cfg
         m = self.map
         dev = self._mirror.get(m, self._map_version)
@@ -558,6 +560,7 @@ class MonocularTracker:
             small.copy_to_host_async()
         except Exception:
             pass
+        profiler.tictoc("track.dispatch")
         return dict(fid=fid, small=small, new_state=new_state, fdev=fdev,
                     rescue=rescue)
 
@@ -567,7 +570,8 @@ class MonocularTracker:
         trajectory / keyframe / mapping logic (Tracking::Track's epilogue,
         Tracking.cc:560-780)."""
         fid = p["fid"]
-        small_h = np.array(p["small"])
+        with profiler.span("track.result_download"):
+            small_h = np.array(p["small"])
         Tcw_f = small_h[:16].reshape(4, 4).astype(np.float32)
         n_in = int(small_h[16])
         n_in2 = int(small_h[17])
@@ -587,7 +591,8 @@ class MonocularTracker:
             # host rescue paths take over (they mutate host state, so the
             # device state re-seeds at the next dispatch)
             self._dev_state = None
-            ok = self._rescue(feats, p, n_in)
+            with profiler.span("track.rescue"):
+                ok = self._rescue(feats, p, n_in)
 
         if not ok:
             self.state = "LOST"
@@ -602,7 +607,7 @@ class MonocularTracker:
         self.state = "OK"
         self.trajectory.append((fid, self.last_Tcw.copy()))
         self._record_pose(self.last_Tcw, fid=fid)
-        if self._need_new_keyframe(fid):
+        if self._need_new_keyframe(fid, feats):
             self._create_keyframe(feats, fid=fid)
             # the keyframe step adds triangulated/fused associations to the
             # new reference KF = this frame; carry them into the next
@@ -653,10 +658,14 @@ class MonocularTracker:
         vel = Tcw_f @ np_geo.inv_T(self.last_Tcw)
         # a rescue that jumped far (relocalization to a distant keyframe)
         # yields a one-frame "velocity" that would catapult the next
-        # prediction — the reference clears mVelocity after relocalization
-        # (Tracking.cc:1347); keep it only when the jump is frame-scale
+        # prediction — the reference clears mVelocity only after
+        # Relocalization (Tracking.cc:1347), and _relocalize does the same
+        # here. PnP / reference-KF rescues recover a FRAME-ADJACENT pose, so
+        # the velocity is real motion and must survive; the only guard kept
+        # is SCALE-RELATIVE (>5x the previous speed when the previous speed
+        # is meaningful) — an absolute floor is wrong at metric scales.
         prev = float(np.linalg.norm(self.velocity[:3, 3]))
-        if float(np.linalg.norm(vel[:3, 3])) > max(5.0 * prev, 0.1):
+        if prev > 1e-6 and float(np.linalg.norm(vel[:3, 3])) > 5.0 * prev:
             vel = np.eye(4, dtype=np.float32)
         self.velocity = vel
         self.last_Tcw = Tcw_f
@@ -860,7 +869,21 @@ class MonocularTracker:
     # ------------------------------------------------------------------
     # keyframe policy + local mapping (inline)
     # ------------------------------------------------------------------
-    def _need_new_keyframe(self, fid=None):
+    # nMinObs relaxation while the map is young, for modes whose first
+    # frames carry non-triangulated depth anchors (object-depth /
+    # truth-depth mono init): Tracking.cc:1437-1445 drops nMinObs to 1 for
+    # the first ~20 keyframes so keyframe insertion isn't starved before
+    # points mature. None = reference default (3, or 2 for tiny maps).
+    _young_kf_min_obs = None
+
+    def _kf_map_ratio(self, feats):
+        """Stereo/RGBD close-point map ratio (Tracking.cc:1452-1479):
+        nMap/nTotal over keypoints with valid close depth — how much of the
+        potential depth-backed map already exists. Mono has no VO-depth
+        notion (nMap=nTotal=1, :1475-1479): returns None."""
+        return None
+
+    def _need_new_keyframe(self, fid=None, feats=None):
         cfg = self.cfg
         fid = self.frame_id if fid is None else fid
         since = fid - self.last_kf_frame_id
@@ -872,6 +895,8 @@ class MonocularTracker:
         # would otherwise inflate the baseline and fire a keyframe every
         # frame, collapsing triangulation baselines and swamping mapping.
         min_obs = 3 if len(self.map.kf_ids()) > 2 else 2
+        if self._young_kf_min_obs is not None and self.map.kf_seq < 20:
+            min_obs = self._young_kf_min_obs
         if self.ref_kf >= 0:
             mp = self.map.kf_kp_mp[self.ref_kf]
             ids = mp[mp >= 0]
@@ -882,10 +907,19 @@ class MonocularTracker:
         if ref_tracked == 0:
             # reference keyframe gone (culled/evicted) — re-anchor now
             return self.tracked_inliers > 15
-        need = since >= cfg.new_kf_max_frames or (
-            self.tracked_inliers < cfg.new_kf_ref_ratio * max(ref_tracked, 1)
-            and self.tracked_inliers > 15
-        )
+        inl = self.tracked_inliers
+        # c2 (Tracking.cc:1507-1509): few tracked points vs the reference
+        # KF, or (stereo/RGBD) a low close-map ratio — lots of depth-backed
+        # points could be created by inserting now
+        weak_ref = inl < cfg.new_kf_ref_ratio * max(ref_tracked, 1)
+        ratio_map = self._kf_map_ratio(feats)
+        if ratio_map is not None:
+            th_map = 0.20 if inl > 300 else 0.35
+            weak_ref = weak_ref or ratio_map < th_map
+        # with inline (always-idle) mapping c1b is always satisfied
+        # (mMinFrames=0, Tracking.cc:1503-1504), so the gate is c2 plus our
+        # max-frames forcing hatch
+        need = since >= cfg.new_kf_max_frames or (weak_ref and inl > 15)
         return bool(need)
 
     def reset(self):
@@ -968,6 +1002,7 @@ class MonocularTracker:
     def _create_keyframe(self, feats, fid=None):
         cfg = self.cfg
         fid = self.frame_id if fid is None else fid
+        t_kf0 = time.perf_counter()
         # overlap the two host-bound downloads the step needs up front:
         # the counter deltas (folded BEFORE culling reads the ratios or
         # slot recycling invalidates them) and the frame's packed features
@@ -978,7 +1013,8 @@ class MonocularTracker:
                 pass
         # fold the PREVIOUS keyframe's in-flight local BA in first: slot
         # recycling below would orphan its results
-        self._apply_pending_map()
+        with profiler.span("kf.ba_fold"):
+            self._apply_pending_map()
         # start the counter-delta download now; it rides the tunnel while
         # the triangulation/fusion programs dispatch and execute
         counters_pending = self._mirror.sync_counters_dispatch()
@@ -992,11 +1028,20 @@ class MonocularTracker:
         # all observations; the latest view is the cheap recency-weighted
         # stand-in). Without this, creation-time descriptors decorrelate as
         # the viewpoint moves and per-frame matching decays over time.
+        # Refresh ONLY when the new view is Hamming-near the stored one
+        # (<= TH_HIGH): one wrong association that slipped through inlier
+        # gating must not overwrite the point's identity for good — the
+        # reference's median-over-observations pick is robust to a single
+        # bad observation, this gate is the O(1)-state equivalent.
         kp_idx = np.where(obs)[0]
         ids = feats.mp[kp_idx]
         live = self.map.mp_valid[ids]
-        self.map.mp_desc[ids[live]] = feats.desc[kp_idx[live]]
-        self.map.mp_level[ids[live]] = feats.level[kp_idx[live]]
+        kp_live, id_live = kp_idx[live], ids[live]
+        xor = (self.map.mp_desc[id_live] ^ feats.desc[kp_live]).view(np.uint8)
+        hamm = np.unpackbits(xor, axis=1).sum(axis=1)
+        near = hamm <= matching.TH_HIGH
+        self.map.mp_desc[id_live[near]] = feats.desc[kp_live[near]]
+        self.map.mp_level[id_live[near]] = feats.level[kp_live[near]]
         self.ref_kf = k
         self.last_kf_frame_id = fid
 
@@ -1007,8 +1052,9 @@ class MonocularTracker:
         # triangulation candidate set — equivalent, because points
         # triangulated at this keyframe are created with both observations
         # already attached (SearchInNeighbors would find nothing new).
-        tri = self._triangulate_new_dispatch(k)
-        fuse = self._fuse_neighbors_dispatch(k)
+        with profiler.span("kf.tri_fuse_dispatch"):
+            tri = self._triangulate_new_dispatch(k)
+            fuse = self._fuse_neighbors_dispatch(k)
         for pend in (tri, fuse):
             if pend is not None:
                 try:
@@ -1017,10 +1063,12 @@ class MonocularTracker:
                     pass
         # consume the counter deltas (their download overlapped the device
         # work above) BEFORE culling reads the found/visible ratios
-        self._mirror.sync_counters_apply(self.map, counters_pending)
+        with profiler.span("kf.counters"):
+            self._mirror.sync_counters_apply(self.map, counters_pending)
         self._cull_map_points(k)
-        self._triangulate_new_apply(k, tri)
-        self._fuse_neighbors_apply(k, fuse)
+        with profiler.span("kf.tri_fuse_apply"):
+            self._triangulate_new_apply(k, tri)
+            self._fuse_neighbors_apply(k, fuse)
         counts = self.map.covisibility_counts(k)
         order = np.argsort(-counts)
         local = [k] + [int(i) for i in order[: cfg.local_ba_kfs - 1] if counts[i] >= 15]
@@ -1050,16 +1098,19 @@ class MonocularTracker:
         # the solve stays IN FLIGHT until the next mapping event — tracking
         # continues on the pre-BA map meanwhile, exactly like the
         # reference's async mapping thread
-        self._pending_ba = self._local_ba_dispatch(local, fixed=fixed)
-        self._cull_keyframes()
-        self._refresh_mp_geometry(self.map.mp_ids())
+        with profiler.span("kf.ba_dispatch"):
+            self._pending_ba = self._local_ba_dispatch(local, fixed=fixed)
+        with profiler.span("kf.cull_refresh"):
+            self._cull_keyframes()
+            self._refresh_mp_geometry(self.map.mp_ids())
 
         # keyframe database insert (relocalization + loop candidates)
-        self.loop_detector.add(k, self.map.kf_kp_desc[k],
-                               self.map.kf_kp_valid[k])
-        # --- loop closing (LoopClosing::Run, gated like enable_loop_closing)
-        if cfg.enable_loop_closing:
-            self._try_close_loop(k, counts)
+        with profiler.span("kf.loop"):
+            self.loop_detector.add(k, self.map.kf_kp_desc[k],
+                                   self.map.kf_kp_valid[k])
+            # --- loop closing (LoopClosing::Run, gated enable_loop_closing)
+            if cfg.enable_loop_closing:
+                self._try_close_loop(k, counts)
         # fold the local BA dispatched above as soon as the device reports
         # it done: track() polls with only_if_ready=True every frame, so
         # staleness is bounded to ~a frame — the same overlap the
@@ -1067,6 +1118,8 @@ class MonocularTracker:
         # 104-117). Blocking here would serialize the solve + a tunnel
         # round trip into every keyframe's wall time.
         self._apply_pending_map(only_if_ready=True)
+        if profiler._enabled:
+            profiler._records["kf.total"].append(time.perf_counter() - t_kf0)
 
     def _try_close_loop(self, k, covis_counts):
         """DetectLoop -> verify Sim3 -> CorrectLoop (essential graph with
@@ -1450,7 +1503,8 @@ class MonocularTracker:
         b = max(lo, 1 << int(np.ceil(np.log2(max(int(n), 1)))))
         return int(min(b, hi))
 
-    def _local_ba(self, local_kfs, fixed, kf_cap=None, pt_cap=None):
+    def _local_ba(self, local_kfs, fixed, kf_cap=None, pt_cap=None,
+                  pin_gauge=True):
         """Synchronous dispatch + apply (global BA, loop closing). The
         keyframe step instead keeps the dispatched solve PENDING and
         applies it at the next mapping event (`_apply_pending_map`) — the
@@ -1458,7 +1512,8 @@ class MonocularTracker:
         in the reference either (LocalMapping runs asynchronously,
         System.cc:104-117)."""
         self._local_ba_apply(self._local_ba_dispatch(
-            local_kfs, fixed, kf_cap=kf_cap, pt_cap=pt_cap))
+            local_kfs, fixed, kf_cap=kf_cap, pt_cap=pt_cap,
+            pin_gauge=pin_gauge))
 
     def _apply_pending_map(self, only_if_ready=False):
         """Fold the in-flight local BA into the map. Called opportunistically
@@ -1494,7 +1549,8 @@ class MonocularTracker:
                                  .astype(np.float64)).astype(np.float32)
         self._bump_map()
 
-    def _local_ba_dispatch(self, local_kfs, fixed, kf_cap=None, pt_cap=None):
+    def _local_ba_dispatch(self, local_kfs, fixed, kf_cap=None, pt_cap=None,
+                           pin_gauge=True):
         cfg = self.cfg
         m = self.map
         kfs = list(dict.fromkeys(list(local_kfs) + list(fixed)))
@@ -1565,6 +1621,36 @@ class MonocularTracker:
         # around the least-certain estimate, see _create_keyframe)
         if not kf_fixed[:nk].any():
             kf_fixed[int(np.argmin(m.kf_frame_id[kfs[:nk]]))] = True
+        # mono scale-gauge handling: with a SINGLE fixed camera the
+        # similarity scale (about its center) is a null direction of the
+        # reprojection cost, and the damped LM step random-walks along it —
+        # measured 1.2-1.3x per solve, compounding into runaway map scale
+        # whenever the local window covers every co-observer (young maps,
+        # small scenes). FIXING a second camera kills the walk but freezes
+        # that camera's full pose error into the map forever — with the
+        # two oldest pinned, BA could never repair the init pair's
+        # low-parallax warp (measured: a persistent 0.7x translation-scale
+        # map no amount of later BA could fix). Instead the solve stays
+        # FREE (one fixed camera, the reference's own shape,
+        # Optimizer.cc:840-870) and the APPLY step renormalizes the exact
+        # gauge direction post-hoc: rescale the solution about the fixed
+        # camera so the distance to a reference free camera is preserved
+        # (cost-flat, so it cancels the random walk without constraining
+        # any observable direction). Depth-carrying problems (stereo/RGBD)
+        # have no scale-gauge freedom — the z edges pin it physically.
+        gauge = None
+        if (obs_z_si[:n_e] > 0).any():
+            pin_gauge = False
+        if pin_gauge and nk >= 3 and int(kf_fixed[:nk].sum()) == 1:
+            i_fix = int(np.where(kf_fixed[:nk])[0][0])
+            c_fix = np_geo.inv_T(kf_tcw[i_fix].astype(np.float64))[:3, 3]
+            centers = np.stack([np_geo.inv_T(kf_tcw[i].astype(np.float64))[:3, 3]
+                                for i in range(nk)])
+            d = np.linalg.norm(centers - c_fix, axis=1)
+            d[i_fix] = -1.0
+            i_ref = int(np.argmax(d))  # widest baseline = best conditioned
+            if d[i_ref] > 1e-6:
+                gauge = (i_fix, i_ref, float(d[i_ref]))
         pts = np.zeros((PT_CAP, 3), dtype=np.float32)
         pts[:npt] = m.mp_pos[mp_set[:npt]]
         pt_valid = np.zeros(PT_CAP, dtype=bool)
@@ -1585,7 +1671,7 @@ class MonocularTracker:
             out=dev_out, kfs=kfs, nk=nk, kf_fixed=kf_fixed, mp_set=mp_set,
             npt=npt, kf_idx=kf_idx[:n_e], kp_idx=kp_idx[:n_e],
             mp_idx=mp_idx[:n_e], obs_valid=obs_valid[:n_e].copy(),
-            KF_CAP=KF_CAP, PT_CAP=PT_CAP,
+            KF_CAP=KF_CAP, PT_CAP=PT_CAP, gauge=gauge,
             # snapshot frame ids: keyframe culling / eviction may recycle a
             # slot between dispatch and apply — a mismatch means the result
             # belongs to a keyframe that no longer exists
@@ -1609,6 +1695,26 @@ class MonocularTracker:
         out_tcw = out[:o1].reshape(KF_CAP, 4, 4)
         out_pts = out[o1:o2].reshape(PT_CAP, 3)
         inl = out[o2:] > 0.5
+        # post-hoc mono scale-gauge renormalization (see dispatch): rescale
+        # the free solution about the fixed camera so the baseline to the
+        # reference camera is preserved — removes the LM's random walk
+        # along the cost-flat similarity direction without freezing any
+        # observable direction
+        if pend.get("gauge") is not None:
+            i_fix, i_ref, d_before = pend["gauge"]
+            c_fix = np_geo.inv_T(out_tcw[i_fix].astype(np.float64))[:3, 3]
+            c_ref = np_geo.inv_T(out_tcw[i_ref].astype(np.float64))[:3, 3]
+            d_after = float(np.linalg.norm(c_ref - c_fix))
+            if d_after > 1e-9:
+                s = d_before / d_after
+                if abs(s - 1.0) > 1e-6:
+                    for i in range(nk):
+                        Twc = np_geo.inv_T(out_tcw[i].astype(np.float64))
+                        Twc[:3, 3] = (Twc[:3, 3] - c_fix) * s + c_fix
+                        out_tcw[i] = np_geo.inv_T(Twc).astype(out_tcw.dtype)
+                    out_pts[:npt] = ((out_pts[:npt].astype(np.float64)
+                                      - c_fix) * s + c_fix
+                                     ).astype(out_pts.dtype)
         for i, k in enumerate(kfs[:nk]):
             if (not kf_fixed[i] and m.kf_valid[k]
                     and m.kf_frame_id[k] == pend["kf_fids"][i]):
@@ -1636,8 +1742,12 @@ class MonocularTracker:
             return
         oldest = min(kfs)
         # capacities bucket to the live map inside _local_ba_dispatch —
-        # global BA never silently drops keyframes or points
-        self._local_ba(kfs, fixed=[oldest])
+        # global BA never silently drops keyframes or points. The scale
+        # gauge stays FREE here (no second pinned camera): global BA runs
+        # after a loop's Sim3/essential-graph correction, whose scale the
+        # polish must be allowed to spread across the whole chain
+        # (GlobalBundleAdjustemnt fixes only KF0, Optimizer.cc:64-250).
+        self._local_ba(kfs, fixed=[oldest], pin_gauge=False)
         self._bump_map()
 
     def _cull_keyframes(self, keep_latest=2, redundancy=0.9):
@@ -1753,6 +1863,21 @@ class RgbdTracker(MonocularTracker):
     def reset(self):
         super().reset()
         self._pending_depth = None
+
+    def _kf_map_ratio(self, feats):
+        """nMap/nTotal over close-depth keypoints (Tracking.cc:1452-1473):
+        keypoints with valid depth that already carry a map point vs all
+        keypoints with valid depth. Low ratio => inserting a keyframe would
+        create many depth-backed points (the c1c/c2 ratioMap conditions)."""
+        if feats is None or self._pending_depth is None:
+            return None
+        d = self._kp_depths(feats, self._pending_depth)
+        close = d > 0
+        n_total = int(close.sum())
+        if n_total < 10:
+            return None
+        n_map = int(((feats.mp >= 0) & close).sum())
+        return n_map / n_total
 
     def _kp_depths(self, feats, depth_img):
         """Bilinear depth at subpixel keypoint locations; invalid when any
@@ -1888,6 +2013,25 @@ class ObjectSlamTracker(MonocularTracker):
     shared-point voting (Tracking::AssociateCuboids), and solve the joint
     camera-point-object local BA (Optimizer::LocalBACameraPointObjects)."""
 
+    # keep the reference's nMinObs (3) even while the map is young: the
+    # relaxed nMinObs=1 of Tracking.cc:1437-1445 inflates ref_tracked so
+    # the c2 ratio fires a keyframe EVERY frame, and the resulting
+    # one-frame-baseline triangulations flooded the map with noisy depths
+    # (measured: progressive scale drift into tracking collapse on the
+    # orbit scene; with nMinObs=3 the same run tracks 57/61)
+    _young_kf_min_obs = None
+
+    # per-keyframe ground-height scale recovery: the reference enables it
+    # only for monocular KITTI (enable_ground_height_scale in the launch
+    # config) — on indoor object scenes the lower image is mostly object
+    # faces, whose normal-aligned pseudo-planes under-report camera height
+    # and send the correction into runaway inflation (measured x2.1 map
+    # growth on the orbit-room scene); drift there is absorbed by loop
+    # closure instead. The GROUND-BASED METRIC INIT stays on regardless —
+    # one clean measurement on the fresh init map, floor-dominated by
+    # construction.
+    enable_ground_height_scale = False
+
     def __init__(self, K, img_wh, config=None, detector=None, ground_Twc0=None,
                  camera_object_weight=1.0):
         super().__init__(K, img_wh, config)
@@ -1895,7 +2039,13 @@ class ObjectSlamTracker(MonocularTracker):
         from .objects import ObjectManager
 
         if detector is None:
-            detector = CuboidDetector()
+            # sample camera roll/pitch around the SLAM estimate: inside the
+            # loop the pose carries drift, and the detector's corner-chain
+            # geometry dies beyond ~5 deg of ground-frame orientation error
+            # (measured). The reference enables exactly this whenever the
+            # pose isn't the calibrated first frame (main_obj.cpp:442-446,
+            # whether_sample_cam_roll_pitch +-6 deg step 3).
+            detector = CuboidDetector(whether_sample_cam_roll_pitch=True)
             detector.set_calibration(K)
         self.objects = ObjectManager(detector)
         # SLAM world frame = first camera; detection needs a ground-aligned
@@ -1908,65 +2058,269 @@ class ObjectSlamTracker(MonocularTracker):
         self.camera_object_weight = camera_object_weight
         self._pending_obs = None  # (gray, bboxes, lines) for the next KF
         self.mono_scale_initialized = False
+        self._world_is_ground = False
+        # ground-height scale recovery (Tracking.cc:2433-2663): nominal
+        # camera height = the calibrated mount height from ground_Twc0
+        self._ground_est = None
+        if self.ground_align is not None:
+            from .ground import GroundConfig, GroundScaleEstimator
+
+            h0 = float(abs(self.ground_align[2, 3]))
+            if h0 > 1e-3:
+                # every_kfs=1: the estimator is the mono drift absorber —
+                # its height low-pass already smooths per-KF noise, and
+                # skipping keyframes just lets frontier scale drift
+                # compound unchecked between corrections
+                self._ground_est = GroundScaleEstimator(GroundConfig(
+                    nominal_height=h0, every_kfs=1, min_points=12,
+                    inlier_thresh=0.05 * h0))
 
     def track(self, gray, bboxes_2d=None, lines=None):
         self._pending_obs = (gray, bboxes_2d, lines)
         was_uninit = self.state == "NOT_INITIALIZED"
         out = super().track(gray)
         if was_uninit and self.state == "OK":
+            self._anchor_world_to_ground()
             self._object_depth_scale_init()
             self._bump_map()
         return out
+
+    def _anchor_world_to_ground(self):
+        """build_worldframe_on_ground (Tracking.cc:1103-1116): right after
+        two-view initialization transform the whole initial map into the
+        GROUND frame, so the SLAM world is z-up with the ground at z=0 and
+        object landmark poses are directly metric-room-frame once the scale
+        anchor fires. Cameras: Tcw' = Tcw @ G^-1; points: p' = G p."""
+        if self.ground_align is None or self._world_is_ground:
+            return
+        G = self.ground_align
+        Ginv = np_geo.inv_T(G)
+        m = self.map
+        R = G[:3, :3]
+        ids = m.mp_ids()
+        m.mp_pos[ids] = (m.mp_pos[ids] @ R.T + G[:3, 3]).astype(np.float32)
+        m.mp_normal[ids] = (m.mp_normal[ids] @ R.T).astype(np.float32)
+        for k in m.kf_ids():
+            m.kf_tcw[k] = (m.kf_tcw[k].astype(np.float64) @ Ginv
+                           ).astype(np.float32)
+        self.last_Tcw = (self.last_Tcw.astype(np.float64) @ Ginv
+                         ).astype(np.float32)
+        # velocity is camera-to-camera relative: invariant under a world
+        # re-anchor. As-tracked trajectory entries + absolute (ref == -1)
+        # relative-trajectory entries move with the world.
+        self.trajectory = [
+            (fid, None if T is None else
+             (np.asarray(T, dtype=np.float64) @ Ginv).astype(np.float32))
+            for fid, T in self.trajectory]
+        self._traj_rel = [
+            (fid, ref, ref_fid, (T if ref >= 0 else T @ Ginv))
+            for fid, ref, ref_fid, T in self._traj_rel]
+        if self._last_rel is not None:
+            ref, ref_fid, T = self._last_rel
+            if ref < 0:
+                self._last_rel = (ref, ref_fid, T @ Ginv)
+        self._world_is_ground = True
+        self._dev_state = None
+        self._bump_map()
 
     def reset(self):
         super().reset()
         self.objects.reset()
         self._pending_obs = None
         self.mono_scale_initialized = False
+        # the re-initialized world starts in the new first camera's frame;
+        # ground_align (the ORIGINAL first camera's mount) no longer
+        # describes it, so a post-reset map stays camera-anchored (the
+        # reference has the same static-mount limitation)
+        self._world_is_ground = False
+        self.ground_align = None
+        self._ground_est = None
 
     def _object_depth_scale_init(self):
         """MonoObjDepthInitialization analog (Tracking.cc:852-930): anchor
-        the arbitrary monocular scale to the cuboid detector's metric depth
-        (which comes from the known camera height above the ground plane).
-        Runs right after two-view initialization: detect on the second init
-        keyframe, compare the object's metric depth with the median depth of
-        map points inside its box, rescale the map."""
-        gray, bboxes_2d, lines = self._pending_obs or (None, None, None)
-        if bboxes_2d is None or lines is None or len(bboxes_2d) == 0:
-            return
+        the arbitrary monocular scale to metric truth right after two-view
+        initialization. Preferred anchor: the GROUND PLANE of the freshly
+        anchored world (scale = calibrated mount height / fitted apparent
+        height — exact, lands the floor on z=0 by construction, same
+        machinery as enable_ground_height_scale, Tracking.cc:2433-2663).
+        Fallback: the cuboid detector's metric object depth vs the map's
+        depth (the reference's object-depth init) — useful when the ground
+        is untextured, but it inherits the detector's systematic ~15%
+        near-bias (measured), so it only runs when the plane fit fails."""
         m = self.map
         k = self.ref_kf
-        Twc_slam = np_geo.inv_T(m.kf_tcw[k].astype(np.float64))
-        Twc_ground = (self.ground_align @ Twc_slam) if self.ground_align is not None else Twc_slam
-        dets = self.objects.detect_on_keyframe(m, k, gray, bboxes_2d, lines, Twc_ground)
-        if not dets:
+        # ground-plane anchor: exact when the fit is clean (floor lands on
+        # z=0 by construction), but a fit through object faces can be
+        # arbitrarily wrong — demand the plane explain half the candidate
+        # region (min_inlier_frac) and cross-check against the object below
+        s_ground = None
+        if self._ground_est is not None and self._world_is_ground:
+            n_cam = (m.kf_tcw[k, :3, :3].astype(np.float64)
+                     @ np.array([0.0, 0.0, 1.0]))
+            h = self._ground_est.measure_height(
+                m, k, self.img_wh, cam_ground_normal=tuple(n_cam),
+                seed=self.frame_id, min_inlier_frac=0.5)
+            if h is not None:
+                s_ground = self._ground_est.cfg.nominal_height / h
+        # object-depth anchor (the reference's MonoObjDepthInitialization):
+        # systematically ~15% near-biased through the detector's depth, but
+        # never catastrophically off — the robustness reference
+        s_obj = None
+        gray, bboxes_2d, lines = self._pending_obs or (None, None, None)
+        if bboxes_2d is not None and lines is not None and len(bboxes_2d):
+            Twc_slam = np_geo.inv_T(m.kf_tcw[k].astype(np.float64))
+            # after _anchor_world_to_ground the SLAM world IS ground-framed
+            Twc_ground = (Twc_slam if self._world_is_ground else
+                          (self.ground_align @ Twc_slam
+                           if self.ground_align is not None else Twc_slam))
+            dets = self.objects.detect_on_keyframe(m, k, gray, bboxes_2d,
+                                                   lines, Twc_ground)
+            if dets:
+                ratios = self._object_depth_ratios(k, dets[0])
+                if len(ratios) >= 5:
+                    s_obj = float(np.median(ratios))
+        if s_ground is not None and s_obj is not None:
+            # agree -> trust the exact one; disagree -> the plane fit was
+            # contaminated (measured 1.5x-off fits), fall back to the object
+            scale = (s_ground if 0.75 < s_ground / s_obj < 1.35 else s_obj)
+        else:
+            scale = s_ground if s_ground is not None else s_obj
+        if scale is None or not (0.05 < scale < 50.0):
             return
-        det = dets[0]
-        obj_depth = float(det.local_pose[2, 3])
-        if obj_depth <= 0.1:
-            return
-        # median camera-frame depth of map points inside the detection box
-        mp = m.kf_kp_mp[k]
-        inside = np.zeros(len(mp), dtype=bool)
-        inside[det.owned_kps] = True
-        ids = mp[(mp >= 0) & inside]
-        ids = ids[m.mp_valid[ids]]
-        if len(ids) < 5:
-            return
-        Tcw = m.kf_tcw[k]
-        z = (m.mp_pos[ids] @ Tcw[:3, :3].T + Tcw[:3, 3])[:, 2]
-        z = z[z > 0]
-        if len(z) < 5:
-            return
-        scale = obj_depth / float(np.median(z))
-        if not (0.05 < scale < 50.0):
-            return
+        self._apply_metric_scale(scale, k)
+        self.mono_scale_initialized = True
+
+    def _apply_metric_scale(self, scale, k):
+        """GLOBAL rescale about the oldest keyframe's camera center —
+        the INIT-time anchor: the first camera's pose is the metric truth
+        the ground frame was built from (it stays put; structure scales
+        radially around it, which lands the floor on z=0 exactly)."""
         from .ground import GroundScaleEstimator
 
-        GroundScaleEstimator.apply_scale(m, k, scale)
+        m = self.map
+        all_kf = [int(x) for x in m.kf_ids()]
+        anchor = (min(all_kf, key=lambda i: int(m.kf_frame_id[i]))
+                  if all_kf else k)
+        GroundScaleEstimator.apply_scale(m, anchor, scale)
         self._rescale_traj_rel(scale)
         self.last_Tcw = m.kf_tcw[k].copy()
-        self.mono_scale_initialized = True
+        self.velocity[:3, 3] *= scale
+        self._dev_state = None
+
+    def _rescale_local_window(self, k, scale, covis_min=15):
+        """LOCAL-window rescale, the reference's ground-recovery shape
+        (Tracking.cc:2614-2651): only the covisible window of k and its
+        points rescale; mature structure outside the window — already
+        metric — is untouched, so this absorbs frontier drift without
+        re-gauging the whole map. Pivot: in a GROUND-ANCHORED world the
+        window's oldest camera's ground projection (x, y, 0) — the floor
+        stays on z=0 and the corrected camera height lands on s*h =
+        nominal; a camera-center pivot would lift the floor to h(1-s) and
+        poison the next plane fit. Pre-anchor worlds keep the reference's
+        camera-center pivot."""
+        m = self.map
+        counts = m.covisibility_counts(k)
+        window = sorted({int(k)} | {int(i) for i in np.where(
+            counts >= covis_min)[0] if m.kf_valid[i]})
+        anchor = min(window, key=lambda i: int(m.kf_frame_id[i]))
+        Tcw_a = m.kf_tcw[anchor].astype(np.float64)
+        c_a = np_geo.inv_T(Tcw_a)[:3, 3]
+        pivot = (np.array([c_a[0], c_a[1], 0.0])
+                 if getattr(self, "_world_is_ground", False) else c_a)
+        mp_set = np.unique(np.concatenate(
+            [m.kf_kp_mp[kf][m.kf_kp_mp[kf] >= 0] for kf in window]))
+        mp_set = mp_set[m.mp_valid[mp_set]]
+        if len(mp_set):
+            m.mp_pos[mp_set] = ((m.mp_pos[mp_set].astype(np.float64) - pivot)
+                                * scale + pivot).astype(np.float32)
+            m.mp_min_dist[mp_set] *= scale
+            m.mp_max_dist[mp_set] *= scale
+        for kf in window:
+            Twc = np_geo.inv_T(m.kf_tcw[kf].astype(np.float64))
+            Twc[:3, 3] = (Twc[:3, 3] - pivot) * scale + pivot
+            m.kf_tcw[kf] = np_geo.inv_T(Twc).astype(np.float32)
+        Twc = np_geo.inv_T(self.last_Tcw.astype(np.float64))
+        Twc[:3, 3] = (Twc[:3, 3] - pivot) * scale + pivot
+        self.last_Tcw = np_geo.inv_T(Twc).astype(np.float32)
+        self.velocity[:3, 3] *= scale
+        # frame->reference relative poses whose reference is in the window
+        # carry window units (the reference scales exactly those,
+        # Tracking.cc:2643-2651)
+        win = set(window)
+        for i, (fid, ref, ref_fid, T) in enumerate(self._traj_rel):
+            if ref in win:
+                T2 = T.copy()
+                T2[:3, 3] *= scale
+                self._traj_rel[i] = (fid, ref, ref_fid, T2)
+        if self._last_rel is not None and self._last_rel[0] in win:
+            ref, ref_fid, T = self._last_rel
+            T2 = T.copy()
+            T2[:3, 3] *= scale
+            self._last_rel = (ref, ref_fid, T2)
+        self._bump_map()
+
+    def _object_depth_ratios(self, k, det, min_points=5):
+        """Per-point metric/estimated depth ratios for one detection:
+        metric depth = the keypoint ray's FIRST intersection with the
+        detected cuboid (the visible surface the tracked point actually
+        sits on — comparing against the cuboid CENTER depth instead biases
+        the ratio ~half-a-box-depth upward, which measured as a compounding
+        +16%/anchor scale overshoot); estimated depth = the owned map
+        point's camera-frame z."""
+        from .kitti import _ray_cuboid_depth
+
+        m = self.map
+        mp = m.kf_kp_mp[k]
+        if len(det.owned_kps) == 0:
+            return []
+        inside = np.zeros(len(mp), dtype=bool)
+        inside[det.owned_kps] = True
+        sel = np.where((mp >= 0) & inside)[0]
+        ids = mp[sel]
+        live = m.mp_valid[ids]
+        sel, ids = sel[live], ids[live]
+        if len(ids) < min_points:
+            return []
+        d_metric = _ray_cuboid_depth(self.K, m.kf_kp_xy[k, sel],
+                                     det.local_pose, det.scale)
+        Tcw = m.kf_tcw[k]
+        z_est = (m.mp_pos[ids] @ Tcw[:3, :3].T + Tcw[:3, 3])[:, 2]
+        ok = (d_metric > 0) & (z_est > 1e-6)
+        return (d_metric[ok] / z_est[ok]).tolist()
+
+    def _ground_height_reanchor(self, k):
+        """Ground-height scale recovery for the live object tracker
+        (enable_ground_height_scale, Tracking.cc:2433-2663): fit the floor
+        plane to lower-image map points, rescale the LOCAL window so the
+        camera's height above that plane equals the NOMINAL mount height
+        (|ground_Twc0 z| — a fixed external constant, so the feedback loop
+        is anchored OUTSIDE the estimate). The object-depth ratio cannot
+        play this role: the detector's 'metric' depth is proportional to
+        the estimated camera height, so correcting scale from it chases
+        its own tail (measured as a runaway +30%/keyframe inflation)."""
+        if (not self.enable_ground_height_scale or self._ground_est is None
+                or not self._world_is_ground):
+            return
+        m = self.map
+        # expected ground normal in the CURRENT camera frame (world z-up
+        # through the estimated rotation; tolerant of ~10 deg drift)
+        n_cam = m.kf_tcw[k, :3, :3].astype(np.float64) @ np.array([0., 0., 1.])
+        # once the world is metric, only NEAR-FLOOR points may vote: points
+        # on object faces in the lower image form normal-aligned pseudo-
+        # planes (box tops / face clusters) that under-report camera height
+        # and send the recovery into a runaway inflation (measured x2.1)
+        z_gate = (0.25 * self._ground_est.cfg.nominal_height
+                  if self.mono_scale_initialized else None)
+        s = self._ground_est.try_recover(
+            m, k, self.img_wh, cam_ground_normal=tuple(n_cam),
+            seed=self.frame_id, max_world_z=z_gate)
+        if s is None or not (0.5 < s < 2.0):
+            return
+        s = min(max(s, 0.7), 1.3)
+        if abs(s - 1.0) < 0.02:
+            return
+        self._rescale_local_window(k, s)
+        logger.info("ground-height scale recovery at KF %d: x%.3f", k, s)
 
     def _create_keyframe(self, feats, fid=None):
         super()._create_keyframe(feats, fid=fid)
@@ -1979,19 +2333,24 @@ class ObjectSlamTracker(MonocularTracker):
             return
         # camera pose in the ground frame for detection
         Twc_slam = np_geo.inv_T(self.map.kf_tcw[k].astype(np.float64))
-        if self.ground_align is not None:
+        if self._world_is_ground or self.ground_align is None:
+            Twc_ground = Twc_slam  # world anchored on the ground at init
+        else:
             # world->ground alignment via the first camera
             Twc_ground = self.ground_align @ Twc_slam
-        else:
-            Twc_ground = Twc_slam
-        dets = self.objects.detect_on_keyframe(
-            self.map, k, gray, bboxes_2d, lines, Twc_ground
-        )
+        with profiler.span("obj.detect"):
+            dets = self.objects.detect_on_keyframe(
+                self.map, k, gray, bboxes_2d, lines, Twc_ground
+            )
         # measurements are stored in the camera frame -> keep them in the
         # SLAM world by re-lifting with the SLAM pose during association
-        self.objects.associate(self.map, k, dets)
-        self.objects.cull(self.map)
-        self._object_ba(k)
+        with profiler.span("obj.associate"):
+            self.objects.associate(self.map, k, dets)
+            self.objects.cull(self.map)
+        # ground-height scale recovery (drift absorber)
+        self._ground_height_reanchor(k)
+        with profiler.span("obj.ba"):
+            self._object_ba(k)
 
     def _on_loop_corrected(self, corrections):
         """Re-anchor object landmarks through their latest measurement
@@ -2061,7 +2420,12 @@ class ObjectSlamTracker(MonocularTracker):
         kf_idx, kp_idx, mp_idx = m.observations_of(mp_set)
         keep = np.isin(kf_idx, local)
         kf_idx, kp_idx, mp_idx = kf_idx[keep], kp_idx[keep], mp_idx[keep]
-        E = cfg.max_obs_edges
+        # pow2-bucketed capacities, same policy as _local_ba_dispatch: the
+        # reference never drops observations from the joint solve
+        # (Optimizer.cc:826-1534); fixed caps silently left part of any
+        # beyond-toy object run unoptimized
+        E = self._bucket_pow2(len(kf_idx), cfg.max_obs_edges,
+                              max(cfg.max_obs_edges, m.max_kf * m.n_kp))
         n_e = min(len(kf_idx), E)
         if len(kf_idx) > E:
             logger.warning("object BA: clipping %d -> %d observation edges",
@@ -2083,7 +2447,9 @@ class ObjectSlamTracker(MonocularTracker):
         obs_valid[:n_e] = True
 
         (box_kf, box_obj, box_meas, box_si, box_valid,
-         po_obj, po_pt_g, po_si, po_valid) = self.objects.ba_edges(
+         po_obj, po_pt_g, po_si, po_valid,
+         meas_kf, meas_obj, meas_pose, meas_scale, meas_si,
+         meas_valid) = self.objects.ba_edges(
             m, kf_map, camera_object_weight=self.camera_object_weight
         )
         # remap point-object edges into local point indices
@@ -2091,7 +2457,8 @@ class ObjectSlamTracker(MonocularTracker):
         po_valid &= po_loc >= 0
         po_pt = np.where(po_valid, po_loc, 0).astype(po_pt_g.dtype)
 
-        KF_CAP, PT_CAP = 16, 2048
+        KF_CAP = self._bucket_pow2(len(local), 16, m.max_kf)
+        PT_CAP = self._bucket_pow2(len(mp_set), 2048, m.max_mp)
         nk = min(len(local), KF_CAP)
         npt = min(len(mp_set), PT_CAP)
         kf_tcw = np.tile(np.eye(4, dtype=np.float32), (KF_CAP, 1, 1))
@@ -2107,6 +2474,25 @@ class ObjectSlamTracker(MonocularTracker):
             kf_fixed[i] = kf == oldest
         if not kf_fixed[:nk].any():
             kf_fixed[int(np.argmin(m.kf_frame_id[local[:nk]]))] = True
+        # mono scale-gauge handling (see _local_ba_dispatch): keep the
+        # solve FREE (one fixed camera — pinning a second would freeze its
+        # pose error in) and renormalize the cost-flat similarity direction
+        # post-hoc, preserving the fixed->widest-baseline camera distance.
+        # The object edges' metric information still reaches every free
+        # pose/point/landmark; only the runaway contraction along the
+        # near-flat direction (measured 3x in one solve) is cancelled —
+        # whole-map scale corrections belong to the explicit rescale paths.
+        gauge = None
+        if nk >= 3 and int(kf_fixed[:nk].sum()) == 1:
+            i_fix = int(np.where(kf_fixed[:nk])[0][0])
+            c_fix = np_geo.inv_T(kf_tcw[i_fix].astype(np.float64))[:3, 3]
+            centers = np.stack([np_geo.inv_T(kf_tcw[i].astype(np.float64))[:3, 3]
+                                for i in range(nk)])
+            dctr = np.linalg.norm(centers - c_fix, axis=1)
+            dctr[i_fix] = -1.0
+            i_ref = int(np.argmax(dctr))
+            if dctr[i_ref] > 1e-6:
+                gauge = (i_fix, i_ref, float(dctr[i_ref]))
         pts = np.zeros((PT_CAP, 3), dtype=np.float32)
         pts[:npt] = m.mp_pos[mp_set[:npt]]
         pt_valid = np.zeros(PT_CAP, dtype=bool)
@@ -2114,6 +2500,7 @@ class ObjectSlamTracker(MonocularTracker):
         obs_valid &= (obs_kf < nk) & (obs_pt < npt)
         box_valid &= box_kf < nk
         po_valid &= po_pt < npt
+        meas_valid &= meas_kf < nk
 
         out = local_ba_objects_two_stage(
             jnp.asarray(kf_tcw), jnp.asarray(pts),
@@ -2126,8 +2513,33 @@ class ObjectSlamTracker(MonocularTracker):
             jnp.asarray(po_valid),
             jnp.asarray(kf_fixed), jnp.asarray(pt_valid),
             jnp.asarray(st.valid), jnp.asarray(st.fix_scale),
+            meas_kf=jnp.asarray(meas_kf), meas_obj=jnp.asarray(meas_obj),
+            meas_pose=jnp.asarray(meas_pose),
+            meas_scale=jnp.asarray(meas_scale),
+            meas_si=jnp.asarray(meas_si), meas_valid=jnp.asarray(meas_valid),
         )
         kf_out, pts_out, op_out, os_out = (np.array(x) for x in out[:4])
+        if gauge is not None:
+            i_fix, i_ref, d_before = gauge
+            c_fix = np_geo.inv_T(kf_out[i_fix].astype(np.float64))[:3, 3]
+            c_ref = np_geo.inv_T(kf_out[i_ref].astype(np.float64))[:3, 3]
+            d_after = float(np.linalg.norm(c_ref - c_fix))
+            if d_after > 1e-9 and abs(d_before / d_after - 1.0) > 1e-6:
+                s = d_before / d_after
+                for i in range(nk):
+                    Twc = np_geo.inv_T(kf_out[i].astype(np.float64))
+                    Twc[:3, 3] = (Twc[:3, 3] - c_fix) * s + c_fix
+                    kf_out[i] = np_geo.inv_T(Twc).astype(kf_out.dtype)
+                pts_out[:npt] = ((pts_out[:npt].astype(np.float64) - c_fix)
+                                 * s + c_fix).astype(pts_out.dtype)
+                # object landmarks ride the same similarity (position about
+                # the pivot, dimensions by s) — they live in the same world
+                live_o = np.where(st.valid)[0]
+                op_out[live_o, :3, 3] = ((op_out[live_o, :3, 3]
+                                          .astype(np.float64) - c_fix) * s
+                                         + c_fix).astype(op_out.dtype)
+                os_out[live_o] = (os_out[live_o].astype(np.float64)
+                                  * s).astype(os_out.dtype)
         for i, kf in enumerate(local[:nk]):
             if not kf_fixed[i]:
                 m.kf_tcw[kf] = kf_out[i]

@@ -223,6 +223,20 @@ def track_frame_fused(
         Tcw_pred, K, cand_pos, cand_desc, cand_level, cand_valid,
         kp_xy, kp_desc, kp_level, kp_valid, radius_motion, img_wh,
         mp_max_dist=cand_max_dist, n_levels=n_levels, Tcw_alt=Tcw_alt)
+    # wide-window retry (TrackWithMotionModel, Tracking.cc:1300-1310: "If
+    # few matches, uses a wider window search"): when the prediction error
+    # exceeds the window — large inter-frame motion at high resolution —
+    # the 2x window recovers the frame the narrow pass lost. Both passes
+    # run unconditionally (XLA fixed shapes); the better one wins.
+    Tcw1w, mp_to_kp_w, _inlw, n_in_w, raw_w = track_pose(
+        Tcw_pred, K, cand_pos, cand_desc, cand_level, cand_valid,
+        kp_xy, kp_desc, kp_level, kp_valid, 2.0 * radius_motion, img_wh,
+        mp_max_dist=cand_max_dist, n_levels=n_levels, Tcw_alt=Tcw_alt)
+    use_wide = (n_in < 20) & (n_in_w > n_in)
+    Tcw1 = jnp.where(use_wide, Tcw1w, Tcw1)
+    mp_to_kp = jnp.where(use_wide, mp_to_kp_w, mp_to_kp)
+    n_in = jnp.where(use_wide, n_in_w, n_in)
+    raw = jnp.where(use_wide, raw_w, raw)
 
     # kp -> global map id from the motion stage (scatter, dummy slot N)
     kp_mp = jnp.full((N + 1,), -1, dtype=jnp.int32)
@@ -323,7 +337,13 @@ def step_frame(
     tgt = jnp.where(last_kp_mp >= 0, last_kp_mp, M)
     seen = seen.at[tgt].set(True)[:M]
     cand_mask = seen & mp_valid
-    enough = jnp.sum(cand_mask) >= min_track
+    # candidate starvation guard: after one weak frame the last-frame
+    # association set shrinks to a handful of points, which caps the next
+    # frame's matches at that handful — a feedback spiral down to LOST.
+    # Below ~50 candidates, widen to the whole map (the found/visible
+    # ranking + top-k keeps the best n_cand) — the reference equivalently
+    # falls back from last-frame matching to the local-map search.
+    enough = jnp.sum(cand_mask) >= jnp.maximum(min_track, 50)
     cand_mask = jnp.where(enough, cand_mask, mp_valid)
     score = found_acc.astype(jnp.float32) / jnp.maximum(
         vis_acc.astype(jnp.float32), 1.0)
@@ -339,7 +359,15 @@ def step_frame(
         jnp.float32(radius_motion), jnp.float32(radius_local), img_wh,
         n_levels=orb_cfg.n_levels, Tcw_alt=last_Tcw)
 
-    ok = (n_in >= min_track) & (n_in2 >= min_local)
+    # acceptance (Tracking::Track, :560-640): the FINAL TrackLocalMap count
+    # decides. A weak motion stage normally routes to the host rescue
+    # chain (its pose seed may be garbage), but when the final stage is
+    # decisively healthy (>= 3x min_local inliers — the dual-seed pose LM
+    # recovered despite the window mismatch) the frame is tracked; failing
+    # it on the motion count alone was resetting runs whose local stage
+    # had hundreds of inliers.
+    ok = (n_in2 >= min_local) & ((n_in >= min_track)
+                                 | (n_in2 >= 3 * min_local))
     okf = ok.astype(jnp.float32)
 
     # counters only advance on a successful track (host rescue paths update
@@ -355,13 +383,18 @@ def step_frame(
     # motion-model update with a translation growth clamp: a single-frame
     # jump >3x the previous speed is a pose glitch, not motion — feeding it
     # back unclamped catapults the next window search off the map (the
-    # rescue-path analog of Tracking.cc:1347's mVelocity reset). The 1e-3
-    # floor lets a standing-start camera ramp up geometrically in 2 frames.
+    # rescue-path analog of Tracking.cc:1347's mVelocity reset). The clamp
+    # is SCALE-FREE: it only engages when the previous velocity is real
+    # (non-identity) — right after initialization / relocalization / reset
+    # the model is identity and the first tracked frame must re-seed it at
+    # full magnitude, whatever the map's scale unit is (an absolute floor
+    # here throttled KITTI-scale motion to ~zero and collapsed tracking).
     vel_raw = Tcw_f @ geo.inv_T(last_Tcw)
     prev_n = jnp.linalg.norm(velocity[:3, 3])
     new_n = jnp.linalg.norm(vel_raw[:3, 3])
-    cap = 3.0 * jnp.maximum(prev_n, 1e-3)
-    tscale = jnp.where(new_n > cap, cap / jnp.maximum(new_n, 1e-12), 1.0)
+    cap = 3.0 * prev_n
+    clamp = (prev_n > 1e-6) & (new_n > cap)
+    tscale = jnp.where(clamp, cap / jnp.maximum(new_n, 1e-12), 1.0)
     vel_raw = vel_raw.at[:3, 3].multiply(tscale)
     new_velocity = jnp.where(ok, vel_raw, velocity)
 

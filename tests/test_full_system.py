@@ -49,7 +49,7 @@ def test_everything_on_objects_loop_scale():
                         min_init_kps=80, min_init_matches=80,
                         match_radius_motion=20.0,
                         enable_loop_closing=True, loop_global_ba=True,
-                        loop_min_gap_kfs=10)
+                        loop_min_gap_kfs=6)
     trk = ObjectSlamTracker(K, WH, cfg, ground_Twc0=poses[0])
 
     for f in range(N):
@@ -78,11 +78,12 @@ def test_everything_on_objects_loop_scale():
                                      - np.sort(BOX_HALF))))
     assert scale_err < 0.2, f"object half-scale err {scale_err:.3f} m"
 
-    # metric trajectory ATE: SLAM world = first camera frame; truth Twc0
-    # lifts estimates into the room frame
+    # metric trajectory ATE: with ground_Twc0 given the tracker anchors the
+    # SLAM world on the ground at init (build_worldframe_on_ground,
+    # Tracking.cc:1103-1116), so Tcw maps ROOM -> camera directly
     errs = []
     for fid, Tcw in tracked.items():
-        Twc_room = poses[0] @ np_geo.inv_T(Tcw.astype(np.float64))
+        Twc_room = np_geo.inv_T(Tcw.astype(np.float64))
         errs.append(np.linalg.norm(Twc_room[:3, 3] - poses[fid][:3, 3]))
     ate_live = float(np.sqrt(np.mean(np.square(errs))))
     assert ate_live < 0.5, f"live metric ATE {ate_live:.3f} m"
@@ -92,7 +93,10 @@ def test_everything_on_objects_loop_scale():
     kfs = sorted((int(k) for k in m.kf_ids()),
                  key=lambda k: int(m.kf_frame_id[k]))
     Ks = len(kfs)
-    assert Ks >= 12, f"need a real keyframe chain, got {Ks}"
+    # reference-faithful keyframe culling (LocalMapping.cc:833, >=90%
+    # redundant) prunes the there-and-back revisit down to ~10 keyframes;
+    # the drift-injection harness below only needs a rankable chain
+    assert Ks >= 8, f"need a real keyframe chain, got {Ks}"
     rank = {k: i for i, k in enumerate(kfs)}
 
     tcw_pre = {k: m.kf_tcw[k].copy() for k in kfs}
@@ -101,7 +105,7 @@ def test_everything_on_objects_loop_scale():
 
     # accumulated world warp W_i = D^i applied to rank-i-anchored state
     D = np.asarray(geo.se3_exp(jnp.asarray(
-        [0.0, 0.010, 0.0, 0.025, 0.0, 0.010], dtype=jnp.float32))
+        [0.0, 0.025, 0.0, 0.0625, 0.0, 0.025], dtype=jnp.float32))
     ).astype(np.float64)
     W = [np.eye(4)]
     for _ in range(Ks):
@@ -123,14 +127,22 @@ def test_everything_on_objects_loop_scale():
     st.pose[o] = (Wo @ st.pose[o].astype(np.float64)).astype(np.float32)
 
     # the revisit keyframe re-observed early structure; under real drift
-    # those would have been re-triangulated as displaced duplicates
+    # ALL of those would have been re-triangulated as displaced duplicates
+    # (the revisit would share no map points with the early keyframes —
+    # that is exactly why the reference needs loop DETECTION rather than
+    # covisibility: a covisible pair is not a loop, LoopClosing.cc:152-158)
     k_last = kfs[-1]
     kp_mp = m.kf_kp_mp[k_last]
     early_max = 2
     while True:
+        early_pts = set()
+        for e in kfs[: early_max + 1]:
+            emp = m.kf_kp_mp[e]
+            early_pts.update(int(p) for p in emp[emp >= 0])
         sel = [j for j in np.where((kp_mp >= 0) & m.kf_kp_valid[k_last])[0]
                if m.mp_valid[kp_mp[j]]
-               and rank.get(int(m.mp_first_kf[kp_mp[j]]), Ks) <= early_max]
+               and (int(kp_mp[j]) in early_pts
+                    or rank.get(int(m.mp_first_kf[kp_mp[j]]), Ks) <= early_max)]
         if len(sel) >= 30 or early_max > Ks // 3:
             break
         early_max += 1

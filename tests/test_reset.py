@@ -14,9 +14,16 @@ from cube_slam_tpu.slam.system import MonocularTracker, TrackerConfig
 from cube_slam_tpu.utils import synth
 
 K = np.array([[320.0, 0, 160], [0, 320.0, 120], [0, 0, 1]], dtype=np.float32)
+# new_kf_max_frames=4: the synthetic paths here are heavily subsampled
+# (one frame ~ several video frames of motion), so the reference's
+# "force a keyframe every camera-second" rule (mMaxFrames = fps,
+# Tracking.cc:1501) maps to a handful of frames — the relocalization test
+# below needs the resulting map density (> 5 keyframes over 20 frames)
+# for its keyframe-database entries.
 CFG = TrackerConfig(
     n_features=600, n_levels=3, max_kf=24, max_mp=4096,
     min_init_kps=80, min_init_matches=80, enable_loop_closing=False,
+    new_kf_max_frames=4,
 )
 
 
