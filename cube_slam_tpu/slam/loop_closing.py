@@ -166,98 +166,40 @@ def _np_sim3_inverse(s, R, t):
     return 1.0 / s, R.T, -(R.T @ t) / s
 
 
-def _pad_pow2(n, lo=256):
-    return max(lo, 1 << int(np.ceil(np.log2(max(n, 1)))))
-
-
-def _refine_sim3_cam(m, kf_a, kf_b, pa_w, pb_w, uv1, uv2, s, R, t,
-                     fix_scale, K, num_iters=10):
-    """Refine a WORLD Sim3 (pa_w -> pb_w) as the reference does: convert to
-    the camera-frame relative Sim3, run the both-way-projection LM
-    (Optimizer::OptimizeSim3, Optimizer.cc:2838-3035), convert back.
-    Returns (s, R, t, inlier_mask, n_inliers) in world terms."""
-    Tcw_a = m.kf_tcw[kf_a].astype(np.float64)
-    Tcw_b = m.kf_tcw[kf_b].astype(np.float64)
-    pa_cam = pa_w @ Tcw_a[:3, :3].T + Tcw_a[:3, 3]
-    pb_cam = pb_w @ Tcw_b[:3, :3].T + Tcw_b[:3, 3]
-    # S_cam: cam_a -> cam_b through the world correction
-    S_cam = _np_sim3_compose(
-        _np_sim3_compose(_np_sim3_of_se3(Tcw_b), (s, R, t)),
-        _np_sim3_of_se3(np_geo.inv_T(Tcw_a)))
-    N = len(pa_cam)
-    P = _pad_pow2(N)
-    pad = lambda arr, w: np.concatenate(
-        [arr, np.zeros((P - N,) + arr.shape[1:], arr.dtype)]) if N < P else arr
-    valid = np.zeros(P, dtype=bool)
-    valid[:N] = True
-    s_r, R_r, t_r, inl, n_in = sim3_mod.optimize_sim3_relative(
-        jnp.float32(S_cam[0]), jnp.asarray(S_cam[1], dtype=jnp.float32),
-        jnp.asarray(S_cam[2], dtype=jnp.float32),
-        jnp.asarray(pad(pa_cam.astype(np.float32), 3)),
-        jnp.asarray(pad(pb_cam.astype(np.float32), 3)),
-        jnp.asarray(pad(uv1.astype(np.float32), 2)),
-        jnp.asarray(pad(uv2.astype(np.float32), 2)),
-        jnp.asarray(np.asarray(K, dtype=np.float32)),
-        jnp.asarray(valid), num_iters=num_iters, fix_scale=fix_scale)
-    S_ref = (float(s_r), np.array(R_r, dtype=np.float64),
-             np.array(t_r, dtype=np.float64))
-    # back to world: S_w = inv(Tcw_b) o S_cam_refined o Tcw_a
-    S_w = _np_sim3_compose(
-        _np_sim3_compose(_np_sim3_of_se3(np_geo.inv_T(Tcw_b)), S_ref),
-        _np_sim3_of_se3(Tcw_a))
-    return S_w[0], S_w[1], S_w[2], np.array(inl)[:N], int(n_in)
-
-
-def _sim3_guided_matches(m, kf_a, kf_b, s, R, t, K, radius=7.5,
+def _sim3_guided_matches(m, kf_a, kf_b, s, R, t, radius,
                          max_dist=matching.TH_HIGH):
-    """SearchBySim3-style guided re-matching (ORBmatcher.cc:1141-1370):
-    project each keyframe's map points into the OTHER image through the
-    refined WORLD Sim3, window-match descriptors both ways, and keep
-    mutually-agreeing map-point pairs. Returns (pa_w, pb_w, uv1, uv2)
-    arrays of the agreed correspondences."""
-    Tcw_a = m.kf_tcw[kf_a].astype(np.float64)
-    Tcw_b = m.kf_tcw[kf_b].astype(np.float64)
-    K = np.asarray(K, dtype=np.float64)
-
-    def project_into(pts_w, Tcw):
-        pc = pts_w @ Tcw[:3, :3].T + Tcw[:3, 3]
-        z = np.maximum(pc[:, 2], 1e-9)
-        uv = (pc @ K.T)[:, :2] / z[:, None]
-        return uv, pc[:, 2]
+    """SearchBySim3-style guided re-matching (ORBmatcher.cc:1141-1370),
+    performed in 3D MAP space: warp each keyframe's map points into the
+    other side's world through the estimated Sim3, descriptor-match within
+    a 3D `radius`, keep mutually-agreeing distinct map-point pairs.
+    (The reference windows in PIXELS; our old keyframes' stored poses are
+    stale against the final map — see sim3_ransac_trimmed — so pixel
+    windows there bias what the re-match can find.)
+    Returns (pa_w, pb_w) arrays of the agreed correspondences."""
 
     def one_way(src_kf, dst_kf, S):
-        """src's map points through S into dst's image; match against
-        dst's keypoints THAT HAVE map points. Returns dict mp_src->mp_dst."""
+        """src's map points through S near dst's map points. mp_src->mp_dst."""
+        out = {}
         mp_s = m.kf_kp_mp[src_kf]
         sel_s = np.where((mp_s >= 0) & m.kf_kp_valid[src_kf])[0]
         ids_s = mp_s[sel_s]
-        live = m.mp_valid[ids_s]
-        sel_s, ids_s = sel_s[live], ids_s[live]
-        if len(ids_s) == 0:
-            return {}
-        # S maps src-world -> dst-world; project through the dst camera
-        warped = S[0] * (m.mp_pos[ids_s] @ S[1].T) + S[2]
-        uv, z = project_into(warped, (Tcw_b if dst_kf == kf_b else Tcw_a))
+        ids_s = ids_s[m.mp_valid[ids_s]]
         mp_d = m.kf_kp_mp[dst_kf]
         sel_d = np.where((mp_d >= 0) & m.kf_kp_valid[dst_kf])[0]
         ids_d = mp_d[sel_d]
-        live_d = m.mp_valid[ids_d]
-        sel_d, ids_d = sel_d[live_d], ids_d[live_d]
-        if len(ids_d) == 0:
-            return {}
+        ids_d = ids_d[m.mp_valid[ids_d]]
+        if len(ids_s) == 0 or len(ids_d) == 0:
+            return out
+        warped = S[0] * (m.mp_pos[ids_s].astype(np.float64) @ S[1].T) + S[2]
         d = np.array(matching.hamming_matrix(
             jnp.asarray(m.mp_desc[ids_s]), jnp.asarray(m.mp_desc[ids_d])))
-        kp_xy = m.kf_kp_xy[dst_kf, sel_d]
-        lvl = m.kf_kp_level[dst_kf, sel_d].astype(np.float64)
-        r = radius * 1.2 ** lvl
-        wm = ((np.abs(uv[:, None, 0] - kp_xy[None, :, 0]) < r[None, :])
-              & (np.abs(uv[:, None, 1] - kp_xy[None, :, 1]) < r[None, :])
-              & (z[:, None] > 0))
-        d = np.where(wm, d, matching.BIG)
+        near = (np.linalg.norm(
+            warped[:, None, :] - m.mp_pos[ids_d][None, :, :], axis=-1)
+            < radius)
+        d = np.where(near, d, matching.BIG)
         best = d.argmin(axis=1)
         ok = d[np.arange(len(d)), best] <= max_dist
-        return {int(a): int(ids_d[b]) for a, b in
-                zip(ids_s[ok], best[ok])}
+        return {int(a): int(ids_d[b]) for a, b in zip(ids_s[ok], best[ok])}
 
     S_ab = (s, R, t)
     S_ba = _np_sim3_inverse(s, R, t)
@@ -268,21 +210,11 @@ def _sim3_guided_matches(m, kf_a, kf_b, s, R, t, K, radius=7.5,
     agreed = [(a, b) for a, b in m_ab.items()
               if m_ba.get(b, -1) == a and a != b]
     if not agreed:
-        return (np.zeros((0, 3)),) * 2 + (np.zeros((0, 2)),) * 2
+        return np.zeros((0, 3)), np.zeros((0, 3))
     a_ids = np.array([a for a, _ in agreed])
     b_ids = np.array([b for _, b in agreed])
-    # pixel observations: the keypoint each map point owns in its keyframe
-    kp_of = {}
-    for kf, ids in ((kf_a, a_ids), (kf_b, b_ids)):
-        mp_tab = m.kf_kp_mp[kf]
-        lut = np.full(m.max_mp, -1, dtype=np.int64)
-        sel = np.where(mp_tab >= 0)[0]
-        lut[mp_tab[sel]] = sel
-        kp_of[kf] = lut
-    uv1 = m.kf_kp_xy[kf_a, kp_of[kf_a][a_ids]]
-    uv2 = m.kf_kp_xy[kf_b, kp_of[kf_b][b_ids]]
     return m.mp_pos[a_ids].astype(np.float64), \
-        m.mp_pos[b_ids].astype(np.float64), uv1, uv2
+        m.mp_pos[b_ids].astype(np.float64)
 
 
 def verify_loop_sim3(map_state, kf_a, kf_b, K=None, fix_scale=False,
@@ -331,17 +263,12 @@ def verify_loop_sim3(map_state, kf_a, kf_b, K=None, fix_scale=False,
         np.random.default_rng(seed + i).choice(N, 3, replace=False) for i in range(128)
     ]).astype(np.int32)
     if K is not None:
-        # pixel-scored consensus (Sim3Solver::CheckInliers): scale-free and
-        # anchored to the observations — a 3D-metres gate blends structure
-        # at intermediate drift warps into the consensus and biases scale
-        s, R, t, inlier, n_in = sim3_mod.sim3_ransac_px(
+        # least-trimmed-squares consensus on MAP positions (no metres
+        # threshold to tune, unbiased by stale old-keyframe observations —
+        # rationale at sim3_mod.sim3_ransac_trimmed)
+        s, R, t, inlier, n_in = sim3_mod.sim3_ransac_trimmed(
             jnp.asarray(pa, dtype=jnp.float32),
             jnp.asarray(pb, dtype=jnp.float32),
-            jnp.asarray(m.kf_kp_xy[kf_a, kp_a], dtype=jnp.float32),
-            jnp.asarray(m.kf_kp_xy[kf_b, kp_b], dtype=jnp.float32),
-            jnp.asarray(m.kf_tcw[kf_a], dtype=jnp.float32),
-            jnp.asarray(m.kf_tcw[kf_b], dtype=jnp.float32),
-            jnp.asarray(np.asarray(K, dtype=np.float32)),
             jnp.ones(N, dtype=bool), jnp.asarray(samples),
             fix_scale=fix_scale,
         )
@@ -357,33 +284,31 @@ def verify_loop_sim3(map_state, kf_a, kf_b, K=None, fix_scale=False,
     if K is None:
         return s, R, t, int(n_in)
 
-    # --- LM refinement of the RANSAC Sim3 (Optimizer::OptimizeSim3): a raw
-    # 3-point-sample Horn fit carries the RANSAC sample's noise — on long
-    # drifts that biases the pose-graph scale
+    # --- guided re-match with the trimmed Sim3 (SearchBySim3 analog) in 3D,
+    # then a trimmed re-fit on the agreed set; accept at the reference's
+    # >= min_total(40) gate (LoopClosing.cc:367-400). The inlier radius for
+    # the re-match comes from the consensus residuals themselves.
     inl = np.array(inlier)
-    s, R, t, _, n_ref = _refine_sim3_cam(
-        m, kf_a, kf_b, pa[inl].astype(np.float64), pb[inl].astype(np.float64),
-        m.kf_kp_xy[kf_a, kp_a[inl]], m.kf_kp_xy[kf_b, kp_b[inl]],
-        s, R, t, fix_scale, K)
-    if n_ref < min_inliers:
+    resid = np.linalg.norm(s * (pa[inl] @ R.T) + t - pb[inl], axis=-1)
+    scene = float(np.median(np.linalg.norm(pb - np.median(pb, axis=0), axis=-1)))
+    radius = float(np.clip(4.0 * np.median(resid), 0.02 * scene, 0.1 * scene))
+    pa2, pb2 = _sim3_guided_matches(m, kf_a, kf_b, s, R, t, radius)
+    if len(pa2) < min_total:
+        # the guided re-match could not assemble the reference's required
+        # agreement — reject outright (no weaker fallback: the raw RANSAC
+        # count is not an acceptance signal on self-similar structure)
         return None
-    # --- guided re-match with the refined Sim3 (SearchBySim3 analog),
-    # then re-refine on the agreed set; accept at the reference's >= 40
-    # total-inlier gate (LoopClosing.cc:367-400). The raw Horn-RANSAC
-    # inlier count is NOT an acceptance signal — a 3-point-sample fit on
-    # self-similar structure reaches high counts on false loops; only the
-    # projection-refined counts (n2 from the guided set, n_ref from the
-    # descriptor-matched set) gate acceptance, matching the reference's
-    # rule (reject unless >= 40 survive SearchBySim3 + second OptimizeSim3).
-    pa2, pb2, uv1, uv2 = _sim3_guided_matches(m, kf_a, kf_b, s, R, t, K)
-    if len(pa2) >= min_inliers:
-        s2, R2, t2, inl2, n2 = _refine_sim3_cam(
-            m, kf_a, kf_b, pa2, pb2, uv1, uv2, s, R, t, fix_scale, K)
-        if n2 >= min_total:
-            return float(s2), R2, t2, int(n2)
-    if n_ref >= min_total:
-        return s, R, t, int(n_ref)
-    return None
+    N2 = len(pa2)
+    samples2 = np.stack([
+        np.random.default_rng(seed + 7919 + i).choice(N2, 3, replace=False)
+        for i in range(64)]).astype(np.int32)
+    s2, R2, t2, inl2, n2 = sim3_mod.sim3_ransac_trimmed(
+        jnp.asarray(pa2, dtype=jnp.float32), jnp.asarray(pb2, dtype=jnp.float32),
+        jnp.ones(N2, dtype=bool), jnp.asarray(samples2), fix_scale=fix_scale)
+    if int(n2) < min_total:
+        return None
+    return float(s2), np.array(R2, dtype=np.float64), \
+        np.array(t2, dtype=np.float64), int(n2)
 
 
 # ---------------------------------------------------------------------------
@@ -453,7 +378,11 @@ def correct_loop(map_state, loop_kf, matched_kf, sim3_correction, kf_order=None,
     extra_loop_edges: list of (kf_a, kf_b) pairs from previous closures
     (KeyFrame::GetLoopEdges analog)."""
     m = map_state
-    kfs = kf_order if kf_order is not None else sorted(int(k) for k in m.kf_ids())
+    # TEMPORAL order (slot ids are recycled, so sorted ids are not time):
+    # the spanning chain must connect temporally adjacent keyframes or the
+    # pose graph gets chain edges spanning half the trajectory's drift
+    kfs = kf_order if kf_order is not None else sorted(
+        (int(k) for k in m.kf_ids()), key=lambda k: int(m.kf_frame_id[k]))
     K = len(kfs)
     idx_of = {k: i for i, k in enumerate(kfs)}
 
@@ -461,6 +390,34 @@ def correct_loop(map_state, loop_kf, matched_kf, sim3_correction, kf_order=None,
     s = np.ones(K, dtype=np.float32)
     R = np.stack([m.kf_tcw[k][:3, :3] for k in kfs])
     t = np.stack([m.kf_tcw[k][:3, 3] for k in kfs])
+
+    # ---- propagate the correction to the loop keyframe's covisible group
+    # FIRST (CorrectLoop, LoopClosing.cc:434-470): edges incident to the
+    # revisit neighborhood must be measured from CORRECTED estimates.
+    # Without this, a revisit that kept old associations alive produces
+    # long-span covisibility edges whose drifted relative measurements
+    # out-vote the single loop edge and the pose graph converges back to
+    # the drifted configuration (measured: mid-chain keyframes keep 70% of
+    # their drift). Group = loop_kf + its covisibles on the RECENT side of
+    # the loop (the reference's mvpCurrentConnectedKFs; candidates are
+    # non-covisible there, but our revisit can share points with the
+    # matched side, which must stay un-corrected as the gauge anchor).
+    sc_, Rc_, tc_ = sim3_correction
+    corr = (float(sc_), np.asarray(Rc_, dtype=np.float64),
+            np.asarray(tc_, dtype=np.float64))
+    corr_inv = _np_sim3_inverse(*corr)
+    r_i, r_j = idx_of[matched_kf], idx_of[loop_kf]
+    covis_all = m.covisibility_matrix()
+    group = {loop_kf} | {
+        k for k in kfs
+        if covis_all[loop_kf, k] >= 15 and idx_of[k] > (r_i + r_j) / 2}
+    s_m = s.astype(np.float64).copy()
+    R_m = R.astype(np.float64).copy()
+    t_m = t.astype(np.float64).copy()
+    for g in group:
+        gi = idx_of[g]
+        s_m[gi], R_m[gi], t_m[gi] = _np_sim3_compose(
+            (s_m[gi], R_m[gi], t_m[gi]), corr_inv)
 
     # ---- edge LIST on host (vectorized), measurements in ONE device
     # program: at 96 keyframes the former per-edge jitted compose calls
@@ -475,15 +432,20 @@ def correct_loop(map_state, loop_kf, matched_kf, sim3_correction, kf_order=None,
 
     # covisibility edges: KF pairs sharing >= covis_theta map points
     # (GetCovisiblesByWeight(minFeat), Optimizer.cc:2744-)
-    covis = m.covisibility_matrix()
-    sub = covis[np.ix_(kfs, kfs)]
+    sub = covis_all[np.ix_(kfs, kfs)]
     iu, ju = np.triu_indices(K, 1)
     strong = sub[iu, ju] >= covis_theta
     for a, b in zip(iu[strong], ju[strong]):
         key = (int(a), int(b))
         if key in inserted:
             continue
-        ei_l.append(int(a)); ej_l.append(int(b)); ew_l.append(1.0)
+        # information decays with temporal span: a covisibility relative
+        # between keyframes k ranks apart carries ~k accumulated drift
+        # steps, so its weight is 1/span (the rank-1 odometry edges keep
+        # full weight). Without this, long-span drifted relatives out-vote
+        # the loop edge and re-freeze the drifted configuration.
+        ei_l.append(int(a)); ej_l.append(int(b))
+        ew_l.append(1.0 / max(int(b) - int(a), 1))
         inserted.add(key)
 
     # past loop edges (KeyFrame::GetLoopEdges)
@@ -498,37 +460,87 @@ def correct_loop(map_state, loop_kf, matched_kf, sim3_correction, kf_order=None,
         inserted.add(key)
 
     ei = list(ei_l); ej = list(ej_l); ew = list(ew_l)
-    es_b, eR_b, et_b = _relative_sim3_batch(
+    # measurement split (OptimizeEssentialGraph, Optimizer.cc:2620-2740):
+    # NORMAL edges (chain, covisibility, past loops) measure the
+    # PRE-correction relatives — drift between temporal neighbors is the
+    # best odometry available; LOOP-CONNECTION edges (a corrected-group
+    # keyframe re-linked to the matched side — the connections the revisit
+    # itself created) measure the CORRECTED relatives. Giving the long-span
+    # revisit edges drifted measurements instead lets them out-vote the
+    # loop edge and the graph converges back to the drifted configuration.
+    ei_arr = np.asarray(ei, dtype=np.int32)
+    ej_arr = np.asarray(ej, dtype=np.int32)
+    in_group = np.array([kfs[x] in group for x in range(K)])
+    # a non-adjacent covisibility relation between the corrected group and
+    # the rest of the map is a connection the revisit itself created (the
+    # reference's LoopConnections): the verified correction has MOVED the
+    # group, so the pre-correction relative for such a pair is invalidated
+    # by construction — it must be re-measured through corrected estimates.
+    # Temporally adjacent pairs stay on drifted measurements (odometry).
+    is_loop_conn = ((in_group[ei_arr] != in_group[ej_arr])
+                    & (np.abs(ei_arr - ej_arr) > 1))
+    es_d, eR_d, et_d = _relative_sim3_batch(
         jnp.asarray(s), jnp.asarray(R.astype(np.float32)),
         jnp.asarray(t.astype(np.float32)),
-        jnp.asarray(np.asarray(ei, dtype=np.int32)),
-        jnp.asarray(np.asarray(ej, dtype=np.int32)))
-    es = [float(x) for x in np.array(es_b)]
-    eR = list(np.array(eR_b))
-    et = list(np.array(et_b))
+        jnp.asarray(ei_arr), jnp.asarray(ej_arr))
+    es_c, eR_c, et_c = _relative_sim3_batch(
+        jnp.asarray(s_m.astype(np.float32)), jnp.asarray(R_m.astype(np.float32)),
+        jnp.asarray(t_m.astype(np.float32)),
+        jnp.asarray(ei_arr), jnp.asarray(ej_arr))
+    sel = is_loop_conn
+    es = list(np.where(sel, np.array(es_c), np.array(es_d)))
+    eR = list(np.where(sel[:, None, None], np.array(eR_c), np.array(eR_d)))
+    et = list(np.where(sel[:, None], np.array(et_c), np.array(et_d)))
+    es = [float(x) for x in es]
+    # loop connections carry the verified correction, not accumulated
+    # drift — restore full weight over the 1/span covisibility default
+    ew = [1.0 if lc_ else w for lc_, w in zip(sel, ew)]
 
-    # the loop edge: matched_kf pose should equal correction applied to
-    # loop_kf-side geometry
-    sc, Rc, tc = sim3_correction
-    i, j = idx_of[matched_kf], idx_of[loop_kf]
-    # desired: S_i ~ S_i (it's the anchor); constrain S_j composed with the
-    # correction: S_ij = S_i o corr o S_j^-1 evaluated with corrected values
-    s_corr, R_corr, t_corr = sim3_mod.sim3_compose(
-        jnp.asarray(s[i]), jnp.asarray(R[i]), jnp.asarray(t[i]),
-        jnp.asarray(np.float32(sc)), jnp.asarray(Rc.astype(np.float32)),
-        jnp.asarray(tc.astype(np.float32)),
-    )
-    sj_inv, Rj_inv, tj_inv = sim3_mod.sim3_inverse(
-        jnp.asarray(s[j]), jnp.asarray(R[j]), jnp.asarray(t[j])
-    )
-    s_ij, R_ij, t_ij = sim3_mod.sim3_compose(s_corr, R_corr, t_corr, sj_inv, Rj_inv, tj_inv)
+    # the loop edge: the corrected relative between the anchor and the
+    # loop keyframe (S_i o S o S_j^-1, with S_j already group-corrected)
+    i, j = r_i, r_j
+    S_ij = _np_sim3_compose((s_m[i], R_m[i], t_m[i]),
+                            _np_sim3_inverse(s_m[j], R_m[j], t_m[j]))
     ei.append(i); ej.append(j)
-    es.append(float(s_ij)); eR.append(np.array(R_ij)); et.append(np.array(t_ij))
+    es.append(float(S_ij[0])); eR.append(S_ij[1]); et.append(S_ij[2])
     ew.append(float(len(kfs)))  # strong loop edge
 
     E = len(ei)
     fixed = np.zeros(K, dtype=bool)
-    fixed[0] = True
+    # gauge: the reference fixes the MATCHED (loop) keyframe — the old side
+    # of the loop, whose pose carries the least accumulated drift
+    # (OptimizeEssentialGraph fixes pLoopKF, Optimizer.cc:2605-2612);
+    # anchoring to an arbitrary slot instead leaves the whole corrected map
+    # offset by that keyframe's drift
+    fixed[idx_of[matched_kf]] = True
+
+    # ---- initialize vertices at the RANK-INTERPOLATED correction:
+    # exp(alpha * log S^-1) distributed over temporal rank between the
+    # anchor and the loop keyframe, with the corrected group at alpha=1.
+    # Starting the LM from the drifted poses leaves it in a basin where
+    # only the two loop endpoints move (measured: mid-chain keyframes keep
+    # 70% of their drift at any iteration count); this init IS the
+    # distributed correction, and the optimization then only polishes.
+    import scipy.linalg as _sla
+    C4 = np.eye(4)
+    C4[:3, :3] = corr[1] * corr[0]
+    C4[:3, 3] = corr[2]
+    logC_inv = -np.real(_sla.logm(C4))
+    denom = max(r_j - r_i, 1)
+    for r in range(K):
+        alpha = min(max((r - r_i) / denom, 0.0), 1.0)
+        if kfs[r] in group:
+            alpha = 1.0
+        if alpha == 0.0:
+            continue
+        Vinv = np.real(_sla.expm(alpha * logC_inv))  # = (S^-1)^alpha as 4x4
+        s_v = float(np.cbrt(np.linalg.det(Vinv[:3, :3])))
+        R_v = Vinv[:3, :3] / s_v
+        t_v = Vinv[:3, 3]
+        # S_r_init = S_r_current o Vinv (Sim3 composition)
+        s[r], R[r], t[r] = _np_sim3_compose(
+            (float(s[r]), R[r].astype(np.float64), t[r].astype(np.float64)),
+            (s_v, R_v, t_v))
 
     s2, R2, t2 = optimize_sim3_pose_graph(
         jnp.asarray(s), jnp.asarray(R.astype(np.float32)), jnp.asarray(t.astype(np.float32)),

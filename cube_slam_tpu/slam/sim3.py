@@ -114,6 +114,69 @@ def sim3_ransac_px(p1, p2, uv1, uv2, Tcw1, Tcw2, K, valid, sample_idx,
     return s_f, R_f, t_f, inlier, jnp.sum(inlier)
 
 
+@functools.partial(jax.jit, static_argnames=("fix_scale", "refine_iters"))
+def sim3_ransac_trimmed(p1, p2, valid, sample_idx, fix_scale=False,
+                        refine_iters=4, rel_floor=0.01, rel_ceil=0.05):
+    """Least-trimmed-squares Sim3 RANSAC on matched 3D MAP positions.
+
+    Why not pixel-scored (Sim3Solver::CheckInliers)? The reference's
+    keyframe poses stay consistent with their old observations because its
+    local BA keeps re-touching them; ours drop out of the bounded BA
+    window, so a months-old keyframe's stored pose is a few px stale
+    against the FINAL map — a pixel objective then prefers a wrong scale
+    that splits the staleness (measured: s=1.21 on a pure-SE3 drift).
+    The map positions themselves ARE the state the loop correction will
+    transform, so aligning them directly is both unbiased and sufficient.
+
+    Per-hypothesis Horn (3-pt minimal samples), scored by the SUM OF THE
+    SMALLEST half of residuals (LTS — no metres threshold to tune), then
+    iteratively re-fit on the current best-half (converges onto the
+    self-consistent duplicate population). Inliers are reported against
+    max(2.5 * h-th error, rel_floor * scene) capped at rel_ceil * scene so
+    a garbage fit on a false loop cannot claim half the matches.
+
+    Returns (s, R, t, inlier (N,), n_inlier)."""
+    N = p1.shape[0]
+    h = max(4, N // 2)
+    BIG = jnp.float32(1e9)
+
+    def errs(s, R, t):
+        pred = s * (p1 @ R.T) + t
+        e = jnp.linalg.norm(pred - p2, axis=-1)
+        return jnp.where(valid, e, BIG)
+
+    s1 = p1[sample_idx]
+    s2 = p2[sample_idx]
+    s, R, t = horn_sim3(s1, s2, fix_scale=fix_scale)  # batched over S
+    pred = s[:, None, None] * (p1 @ jnp.swapaxes(R, -1, -2)) + t[:, None, :]
+    err = jnp.linalg.norm(pred - p2[None], axis=-1)
+    err = jnp.where(valid[None], err, BIG)
+    trimmed_cost = jnp.sum(jnp.sort(err, axis=1)[:, :h], axis=1)
+    best = jnp.argmin(trimmed_cost)
+
+    def body(_, S):
+        e = errs(*S)
+        tau = jnp.sort(e)[h - 1]
+        w = ((e <= tau) & valid).astype(jnp.float32)
+        return horn_sim3(p1, p2, weights=w, fix_scale=fix_scale)
+
+    S_f = jax.lax.fori_loop(
+        0, refine_iters, body, (s[best], R[best], t[best]))
+    s_f, R_f, t_f = S_f
+    e = errs(s_f, R_f, t_f)
+    scene = jnp.median(jnp.where(
+        valid, jnp.linalg.norm(p2 - jnp.mean(p2, axis=0), axis=-1), 0.0))
+    kth = jnp.sort(e)[h - 1]
+    tau = jnp.clip(2.5 * kth, rel_floor * scene, rel_ceil * scene)
+    inlier = (e < tau) & valid
+    # final fit on the reported inliers
+    s_f, R_f, t_f = horn_sim3(
+        p1, p2, weights=inlier.astype(jnp.float32), fix_scale=fix_scale)
+    e = errs(s_f, R_f, t_f)
+    inlier = (e < tau) & valid
+    return s_f, R_f, t_f, inlier, jnp.sum(inlier)
+
+
 # ---------------------------------------------------------------------------
 # Sim3 pose-graph pieces (OptimizeEssentialGraph, Optimizer.cc:2575)
 # ---------------------------------------------------------------------------
